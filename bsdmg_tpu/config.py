@@ -1,0 +1,101 @@
+"""Runtime configuration.
+
+The reference hard-codes its configuration in C ``#define``s and Rust consts
+(cuda/includes/bindings.h:5-10, cuda/includes/ray_marching.cu:10-12,
+cuda/includes/signed_distance.cu:179, src/renderer/mod.rs:10). Here they are
+real dataclasses with those values as defaults, so every knob is visible,
+testable and overridable from the CLI.
+
+All dataclasses are frozen + hashable so they can be passed as static args to
+``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class MarchConfig:
+    """Sphere-tracing budget (reference: cuda/includes/ray_marching.cu:10-12)."""
+
+    step_limit: int = 256
+    depth_limit: float = 500.0
+    collision_distance: float = 1e-3
+
+    #: 4th-order central-difference epsilon for empirical normals
+    #: (reference: cuda/includes/signed_distance.cu:179).
+    normal_epsilon: float = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Render-target geometry (reference: src/renderer/mod.rs:10, src/main.rs:53)."""
+
+    #: CUDA render texture in the reference is 2560x1440.
+    width: int = 2560
+    height: int = 1440
+
+    #: Logical window the reference presents into (1920x1080); enters the ray
+    #: transform through ``width_factor`` (cuda/modules/common.cu:75-88).
+    screen_width: float = 1920.0
+    screen_height: float = 1080.0
+
+    #: Bevy's default ``PerspectiveProjection::fov`` (pi/4), used by the
+    #: reference camera (src/renderer/mod.rs:269-272).
+    fov: float = math.pi / 4.0
+
+    march: MarchConfig = dataclasses.field(default_factory=MarchConfig)
+
+    @property
+    def texture_size(self) -> tuple[int, int]:
+        return (self.width, self.height)
+
+    @property
+    def screen_size(self) -> tuple[float, float]:
+        return (self.screen_width, self.screen_height)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshGenConfig:
+    """Hierarchical mesh-generation geometry.
+
+    Reference: cuda/includes/bindings.h:9-10 (``MESH_GENERATION_INIT_FACTOR``,
+    ``MESH_GENERATION_BB_SIZE``), src/cuda/mod.rs:105-122 (initial field),
+    cuda/includes/signed_distance.cu:227-240 (Newton projection).
+    """
+
+    #: Initial grid resolution per axis (32**3 voxels).
+    init_factor: int = 32
+    #: Bounding box is the cube [-bb_size/2, bb_size/2]^3.
+    bb_size: float = 5.0
+
+    #: Marching-cubes triangle budget per voxel (src/cuda/mod.rs:205).
+    triangles_per_voxel: int = 5
+
+    #: Newton projection of MC vertices onto the isosurface. The reference
+    #: caps at 10_000 iterations (signed_distance.cu:232) which is pathological;
+    #: Newton on an SDF converges in a handful of steps, so we bound it and
+    #: verify surface distance in tests.
+    newton_iters: int = 24
+    newton_tolerance: float = 1e-5
+
+    #: Vertex weld quantization (src/cuda/mod.rs:270: round(x * 1e5)).
+    weld_quantization: float = 1e5
+
+    #: If True, place MC vertices at true sign-change interpolation along the
+    #: edge. The reference uses fixed midpoints (edge interpolation commented
+    #: out at cuda/includes/marching_cubes.cu:14), which is the default here
+    #: for parity.
+    interpolate_edges: bool = False
+
+    normal_epsilon: float = 1e-3
+
+    @property
+    def bb_min(self) -> float:
+        return -self.bb_size / 2.0
+
+    @property
+    def bb_max(self) -> float:
+        return self.bb_size / 2.0

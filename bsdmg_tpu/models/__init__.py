@@ -1,0 +1,30 @@
+"""Scene definitions ("model families") for the renderer and mesh generator.
+
+A *scene* is a pair ``(sdf_fn, params)`` where ``sdf_fn(params, p)`` maps a
+params pytree and points ``(..., 3)`` to signed distances ``(...,)``. Keeping
+the parameters out of the closure makes every scene differentiable (pixel
+gradients w.r.t. SDF parameters — the BASELINE north star) and shardable
+(params are a small replicated pytree).
+"""
+
+from bsdmg_tpu.models.scenes import (
+    SCENES,
+    Scene,
+    box_scene,
+    get_scene,
+    mandelbulb_scene,
+    reference_object,
+    reference_render_scene,
+    sphere_scene,
+)
+
+__all__ = [
+    "SCENES",
+    "Scene",
+    "box_scene",
+    "get_scene",
+    "mandelbulb_scene",
+    "reference_object",
+    "reference_render_scene",
+    "sphere_scene",
+]

@@ -1,0 +1,137 @@
+"""Built-in scenes, including the reference's exact CSG object.
+
+Reference geometry:
+
+* ``sd_obj`` (cuda/modules/common.cu:222-226): ``smooth_min`` of a box
+  skeleton (center 0, size (3, 1, 0.5), line width 0.1) and a sphere of
+  radius 1, smoothing k = 0.5.
+* ``sd_scene`` (cuda/modules/compute_render.cu:3-19): ``sd_obj`` unioned with
+  the mesh-generation bounding-box wireframe (size 5, line width 0.05).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from bsdmg_tpu.sdf import primitives as sdf
+
+Params = Any
+SceneFn = Callable[[Params, jax.Array], jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """A differentiable SDF scene: ``sdf(params, p)`` plus default params."""
+
+    name: str
+    sdf: SceneFn
+    params: Params
+
+    def bind(self, params: Params | None = None) -> Callable[[jax.Array], jax.Array]:
+        """Close over ``params`` (default params if None) for APIs that want
+        a plain ``p -> distance`` function."""
+        bound = self.params if params is None else params
+        scene_fn = self.sdf
+        return lambda p: scene_fn(bound, p)
+
+
+def _f32(x):
+    return jnp.asarray(x, dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# The reference CSG object
+# ---------------------------------------------------------------------------
+
+
+def default_object_params() -> dict:
+    """Parameters of the reference's hard-coded object (common.cu:222-226)."""
+    return {
+        "skeleton_center": _f32([0.0, 0.0, 0.0]),
+        "skeleton_size": _f32([3.0, 1.0, 0.5]),
+        "skeleton_line_width": _f32(0.1),
+        "sphere_radius": _f32(1.0),
+        "smooth_k": _f32(0.5),
+    }
+
+
+def _sd_obj(params: dict, p: jax.Array, *, reference_compat: bool = True) -> jax.Array:
+    a1 = sdf.sd_box_skeleton(
+        p,
+        params["skeleton_center"],
+        params["skeleton_size"],
+        params["skeleton_line_width"],
+        reference_compat=reference_compat,
+    )
+    a2 = sdf.sd_sphere(p, params["skeleton_center"] * 0.0, params["sphere_radius"])
+    return sdf.smooth_min(a1, a2, params["smooth_k"])
+
+
+def reference_object(*, reference_compat: bool = True) -> Scene:
+    """The mesh-generation target object ``sd_obj``."""
+    fn = lambda params, p: _sd_obj(params, p, reference_compat=reference_compat)
+    return Scene("reference_object", fn, default_object_params())
+
+
+def reference_render_scene(
+    *, bb_size: float = 5.0, reference_compat: bool = True
+) -> Scene:
+    """The render scene: object + bounding-box wireframe (compute_render.cu:3-19)."""
+
+    def fn(params: dict, p: jax.Array) -> jax.Array:
+        sd = _sd_obj(params, p, reference_compat=reference_compat)
+        frame = sdf.sd_box_skeleton(
+            p,
+            jnp.zeros(3, jnp.float32),
+            jnp.full((3,), bb_size, jnp.float32),
+            0.05,
+            reference_compat=reference_compat,
+        )
+        return jnp.minimum(sd, frame)
+
+    return Scene("reference_render_scene", fn, default_object_params())
+
+
+# ---------------------------------------------------------------------------
+# Additional scenes
+# ---------------------------------------------------------------------------
+
+
+def sphere_scene(radius: float = 1.0) -> Scene:
+    params = {"radius": _f32(radius)}
+    return Scene("sphere", lambda q, p: sdf.sd_sphere(p, 0.0, q["radius"]), params)
+
+
+def box_scene(size=(1.0, 1.0, 1.0)) -> Scene:
+    params = {"size": _f32(size)}
+    return Scene("box", lambda q, p: sdf.sd_box(p, 0.0, q["size"]), params)
+
+
+def mandelbulb_scene(scale: float = 1.0) -> Scene:
+    """Power-7 mandelbulb (signed_distance.cu:29-57)."""
+    params = {"scale": _f32(scale)}
+
+    def fn(q, p):
+        s = q["scale"] * 0.4
+        return sdf.sd_mandelbulb(p / s) * s
+
+    return Scene("mandelbulb", fn, params)
+
+
+SCENES: dict[str, Callable[[], Scene]] = {
+    "reference_object": reference_object,
+    "reference_render_scene": reference_render_scene,
+    "sphere": sphere_scene,
+    "box": box_scene,
+    "mandelbulb": mandelbulb_scene,
+}
+
+
+def get_scene(name: str, **kwargs) -> Scene:
+    if name not in SCENES:
+        raise KeyError(f"unknown scene {name!r}; available: {sorted(SCENES)}")
+    return SCENES[name](**kwargs)

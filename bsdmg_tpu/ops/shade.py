@@ -1,0 +1,104 @@
+"""Shading: two-color Lambert mix, ACES filmic tonemap, RGBA8 conversion.
+
+Reference: cuda/modules/compute_render.cu:67-96 (shading + store) and
+cuda/includes/color.cu:7-22 (ACES matrices, Stephen Hill fit).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from bsdmg_tpu.config import MarchConfig
+from bsdmg_tpu.ops.trace import COLLISION, STEP_LIMIT, RayMarchHit
+from bsdmg_tpu.sdf.normals import normal_fd4, normal_grad
+
+# Collision gradient colors (compute_render.cu:73-76), in linear [0,1].
+COLOR_LOW = (19.0 / 255.0, 9.0 / 255.0, 130.0 / 255.0)
+COLOR_HIGH = (240.0 / 255.0, 103.0 / 255.0, 24.0 / 255.0)
+LIGHT_DIR = (1.0, 1.0, 1.0)  # normalized below (compute_render.cu:67)
+
+# ACES input/output matrices (color.cu:8-17). GLM mat3x3 constructor is
+# column-major, so the rows here are the rows of the effective matrix.
+_ACES_M1 = (
+    (0.59719, 0.35458, 0.04823),
+    (0.07600, 0.90834, 0.01566),
+    (0.02840, 0.13383, 0.83777),
+)
+_ACES_M2 = (
+    (1.60475, -0.53108, -0.07367),
+    (-0.10208, 1.10813, -0.00605),
+    (-0.00327, -0.07276, 1.07602),
+)
+
+
+def aces_tonemap(rgb: jax.Array) -> jax.Array:
+    """ACES filmic tonemap, clamped to [0, 1] (color.cu:7-22)."""
+    m1 = jnp.asarray(_ACES_M1, rgb.dtype)
+    m2 = jnp.asarray(_ACES_M2, rgb.dtype)
+    v = rgb @ m1.T
+    a = v * (v + 0.0245786) - 0.000090537
+    b = v * (0.983729 * v + 0.4329510) + 0.238081
+    return jnp.clip((a / b) @ m2.T, 0.0, 1.0)
+
+
+def shade_hits(
+    sdf: Callable[[jax.Array], jax.Array],
+    hit: RayMarchHit,
+    config: MarchConfig = MarchConfig(),
+    *,
+    use_grad_normal: bool = False,
+) -> jax.Array:
+    """Shade a traced ray batch into linear RGB (compute_render.cu:67-89).
+
+    Collision pixels mix two colors by ``(dot(n, light) + 1) / 2``; StepLimit
+    pixels are white; DepthLimit pixels are black. Normals use the reference's
+    4th-order finite difference by default (``use_grad_normal=True`` switches
+    to the analytic ``jax.grad`` normal, which is cheaper and fuses better).
+    """
+    light = jnp.asarray(LIGHT_DIR, jnp.float32)
+    light = light / jnp.linalg.norm(light)
+
+    if use_grad_normal:
+        normal = normal_grad(sdf, hit.position)
+    else:
+        normal = normal_fd4(sdf, hit.position, config.normal_epsilon)
+
+    t = (jnp.sum(normal * light, axis=-1) + 1.0) / 2.0
+    low = jnp.asarray(COLOR_LOW, jnp.float32)
+    high = jnp.asarray(COLOR_HIGH, jnp.float32)
+    collision_color = low + t[..., None] * (high - low)
+
+    outcome = hit.outcome[..., None]
+    color = jnp.where(outcome == COLLISION, collision_color, 0.0)
+    color = jnp.where(outcome == STEP_LIMIT, 1.0, color)
+    return aces_tonemap(color)
+
+
+def to_rgba8(rgb: jax.Array) -> jax.Array:
+    """Linear [0,1] RGB -> RGBA8 with opaque alpha (compute_render.cu:91-96).
+
+    The reference C-casts ``clamp(c,0,1) * 255`` to unsigned char, which
+    truncates; we match that truncation.
+    """
+    rgb8 = (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    alpha = jnp.full(rgb.shape[:-1] + (1,), 255, jnp.uint8)
+    return jnp.concatenate([rgb8, alpha], axis=-1)
+
+
+def render_image(
+    sdf: Callable[[jax.Array], jax.Array],
+    origins: jax.Array,
+    directions: jax.Array,
+    cone_radius: jax.Array,
+    config: MarchConfig = MarchConfig(),
+    *,
+    use_grad_normal: bool = False,
+) -> jax.Array:
+    """Trace + shade a full ray bundle to linear RGB ``(..., 3)``."""
+    from bsdmg_tpu.ops.trace import sphere_trace
+
+    hit = sphere_trace(sdf, origins, directions, cone_radius, config)
+    return shade_hits(sdf, hit, config, use_grad_normal=use_grad_normal)

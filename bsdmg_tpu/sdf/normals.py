@@ -1,0 +1,107 @@
+"""Surface normals and isosurface projection.
+
+Two normal paths:
+
+* :func:`normal_grad` — idiomatic JAX: the analytic gradient of the SDF via
+  ``jax.grad``, which XLA fuses with the surrounding program. Preferred on TPU.
+* :func:`normal_fd4` — the reference's 4th-order central difference with
+  ``eps=1e-3`` (cuda/includes/signed_distance.cu:179-202), kept bit-compatible
+  for golden-image parity.
+
+Plus :func:`closest_surface_point`, the Newton projection the reference runs
+per marching-cubes vertex (signed_distance.cu:227-240) — bounded here to a
+static iteration count with a convergence mask instead of the reference's
+data-dependent loop of up to 10,000 steps.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+_SAFE_EPS = 1e-12
+
+SdfFn = Callable[[jax.Array], jax.Array]
+"""A scene SDF: points (..., 3) -> distances (...,)."""
+
+
+def _normalize(v: jax.Array) -> jax.Array:
+    n = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), _SAFE_EPS))
+    return v / n
+
+
+def normal_grad(sdf: SdfFn, p: jax.Array) -> jax.Array:
+    """Unit normal from the analytic SDF gradient (jax.grad)."""
+    flat = p.reshape(-1, 3)
+    g = jax.vmap(jax.grad(lambda q: jnp.sum(sdf(q[None, :]))))(flat)
+    return _normalize(g).reshape(p.shape)
+
+
+def normal_fd4(sdf: SdfFn, p: jax.Array, eps: float = 1e-3) -> jax.Array:
+    """4th-order central-difference unit normal, 12 SDF evals per point.
+
+    Matches the reference stencil (signed_distance.cu:181-202):
+    ``-f(p+2e) + 8 f(p+e) - 8 f(p-e) + f(p-2e)`` per axis (the 1/(12 eps)
+    factor cancels under normalization, as in the reference). All 12 offset
+    evaluations run as one batched call so the scene fuses once.
+    """
+    eye = jnp.eye(3, dtype=p.dtype)
+    # offsets: (12, 3) = 4 taps x 3 axes
+    taps = jnp.asarray([2.0, 1.0, -1.0, -2.0], dtype=p.dtype)
+    offsets = (taps[:, None, None] * eye[None, :, :]).reshape(12, 3) * eps
+    # (..., 12, 3)
+    samples = sdf(p[..., None, :] + offsets)  # (..., 12)
+    weights = jnp.asarray([-1.0, 8.0, -8.0, 1.0], dtype=p.dtype)
+    grads = jnp.einsum("...ta,t->...a", samples.reshape(*samples.shape[:-1], 4, 3), weights)
+    return _normalize(grads)
+
+
+def normal_plane(sdf: SdfFn, p: jax.Array, eps: float = 1e-3):
+    """Tangent frame (up, forward, right) at ``p``.
+
+    Reference: signed_distance.cu:210-225. ``up`` is the surface normal,
+    ``right = up x ref`` where ref is +Z unless the normal is nearly parallel
+    to it, and ``forward = up x right``.
+    """
+    up = normal_fd4(sdf, p, eps)
+    z = jnp.asarray([0.0, 0.0, 1.0], dtype=p.dtype)
+    y = jnp.asarray([0.0, 1.0, 0.0], dtype=p.dtype)
+    use_z = jnp.abs(jnp.sum(up * z, axis=-1, keepdims=True)) < 0.5
+    ref = jnp.where(use_z, z, y)
+    right = jnp.cross(up, jnp.broadcast_to(ref, up.shape))
+    forward = jnp.cross(up, right)
+    return up, forward, right
+
+
+def closest_surface_point(
+    sdf: SdfFn,
+    p: jax.Array,
+    *,
+    iters: int = 24,
+    tolerance: float = 1e-5,
+    eps: float = 1e-3,
+    use_grad_normal: bool = False,
+) -> jax.Array:
+    """Project points onto the zero isosurface: ``g <- g - sd(g) * n(g)``.
+
+    Reference: signed_distance.cu:227-240 (up to 10,000 data-dependent
+    iterations, tol 1e-5). TPU-native version: a static ``fori_loop`` with a
+    per-point convergence mask — Newton converges in a handful of steps on a
+    well-behaved SDF, verified by surface-distance assertions in tests.
+    """
+    normal_fn = normal_grad if use_grad_normal else (lambda f, q: normal_fd4(f, q, eps))
+
+    def body(_, carry):
+        g, done = carry
+        sd = sdf(g)
+        n = normal_fn(sdf, g)
+        g_next = g - sd[..., None] * n
+        newly_done = jnp.abs(sd) <= tolerance
+        g = jnp.where(done[..., None], g, g_next)
+        return g, done | newly_done
+
+    done0 = jnp.zeros(p.shape[:-1], bool)
+    g, _ = jax.lax.fori_loop(0, iters, body, (p, done0))
+    return g
