@@ -1,0 +1,120 @@
+"""Benchmark harness: rays/s render, Mvoxels/s refine + marching cubes.
+
+The reference has no benchmark suite; these are the operating points implied
+by its workload constants (BASELINE.md): full-image sphere trace of the exact
+reference scene, voxel refinement throughput, MC extraction throughput.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import numpy as np
+
+
+def _sync_time(fn, iters: int = 3, warmup: int = 2):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def benchmark_render(
+    width: int = 1920,
+    height: int = 1080,
+    *,
+    iters: int = 3,
+    use_pallas: bool | None = None,
+    use_grad_normal: bool = False,
+) -> dict[str, Any]:
+    """Rays/s of the reference-scene sphere trace at the given resolution."""
+    import jax
+    import jax.numpy as jnp
+
+    from bsdmg_tpu.cam import generate_rays, look_at
+    from bsdmg_tpu.models import reference_render_scene
+    from bsdmg_tpu.ops.shade import render_image
+
+    scene = reference_render_scene()
+    cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+    origins, dirs, cone = generate_rays(cam, (width, height), (1920.0, 1080.0))
+    sdf = scene.bind()
+
+    render = jax.jit(
+        lambda o, d, c: render_image(sdf, o, d, c, use_grad_normal=use_grad_normal)
+    )
+    best = _sync_time(lambda: render(origins, dirs, cone), iters=iters)
+    rays = width * height
+    return {
+        "rays_per_s": rays / best,
+        "seconds_per_frame": best,
+        "width": width,
+        "height": height,
+    }
+
+
+def benchmark_refine(init_factor: int = 64, levels: int = 2, iters: int = 3):
+    """Mvoxels/s of hierarchical refinement on the reference object."""
+    import jax
+    import jax.numpy as jnp
+
+    from bsdmg_tpu.config import MeshGenConfig
+    from bsdmg_tpu.mesh import create_voxel_field, refine_field
+    from bsdmg_tpu.models import reference_object
+
+    sdf = reference_object().bind()
+    cfg = MeshGenConfig(init_factor=init_factor)
+
+    def run():
+        field = create_voxel_field(cfg)
+        total = 0
+        for _ in range(levels):
+            total += field.count
+            field = refine_field(sdf, field, cfg)
+        return field, total
+
+    # warmup (compilation per level shape)
+    field, total = run()
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        field, total = run()
+        jax.block_until_ready(field.lowers)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "voxels_per_s": total / best,
+        "seconds": best,
+        "input_voxels": total,
+        "final_count": field.count,
+    }
+
+
+def benchmark_marching_cubes(init_factor: int = 64, iters: int = 3):
+    """Mvoxels/s of marching-cubes extraction (incl. Newton projection)."""
+    import jax
+
+    from bsdmg_tpu.config import MeshGenConfig
+    from bsdmg_tpu.mesh import create_voxel_field, refine_field
+    from bsdmg_tpu.mesh.pipeline import field_to_triangles
+    from bsdmg_tpu.models import reference_object
+
+    sdf = reference_object().bind()
+    cfg = MeshGenConfig(init_factor=init_factor)
+    field = refine_field(sdf, create_voxel_field(cfg), cfg)
+
+    def run():
+        return field_to_triangles(sdf, field, cfg)
+
+    best = _sync_time(run, iters=iters)
+    return {
+        "voxels_per_s": field.count / best,
+        "seconds": best,
+        "voxel_count": field.count,
+    }

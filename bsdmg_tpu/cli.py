@@ -1,0 +1,231 @@
+"""Command-line interface — the headless app shell.
+
+The reference app is an interactive Bevy window (fly camera, B to refine,
+V to advance the Empty -> VoxelField -> Mesh state machine, OBJ save;
+src/input_handling.rs:6-44, src/renderer/mod.rs:155-226) plus a HEADLESS env
+mode that, as committed, fires all events in one frame and therefore never
+actually refines (src/main.rs:20-34 — see SURVEY §3.5).
+
+This CLI is the real version of that surface:
+
+* ``render``  — sphere-trace a scene to PNG/NPY (the per-frame hot path)
+* ``mesh``    — create field, refine k times, extract, weld, save OBJ/VTK
+  (the intended headless sequence: advance -> refine^k -> advance -> save)
+* ``animate`` — render a camera orbit (the fly-camera analogue)
+* ``bench``   — rays/s + Mvoxels/s operating points
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def _add_scene_arg(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--scene",
+        default="reference_render_scene",
+        help="scene name (see bsdmg_tpu.models.SCENES)",
+    )
+
+
+def _get_scene(name: str):
+    from bsdmg_tpu.models import get_scene
+
+    return get_scene(name)
+
+
+def _camera(args):
+    from bsdmg_tpu.cam import look_at
+
+    return look_at(
+        tuple(args.camera), tuple(args.target), fov=args.fov
+    )
+
+
+def cmd_render(args) -> None:
+    import jax
+
+    from bsdmg_tpu.cam import generate_rays
+    from bsdmg_tpu.mesh.export import save_png
+    from bsdmg_tpu.ops.shade import render_image, to_rgba8
+    from bsdmg_tpu.utils import get_logger
+
+    log = get_logger()
+    scene = _get_scene(args.scene)
+    cam = _camera(args)
+    origins, dirs, cone = generate_rays(
+        cam, (args.width, args.height), (args.screen_width, args.screen_height)
+    )
+    sdf = scene.bind()
+    t0 = time.perf_counter()
+    img = jax.block_until_ready(
+        jax.jit(lambda o, d, c: render_image(sdf, o, d, c))(origins, dirs, cone)
+    )
+    log.info(
+        "rendered %dx%d in %.3fs (incl. compile)",
+        args.width,
+        args.height,
+        time.perf_counter() - t0,
+    )
+    out = args.output or "render.png"
+    if out.endswith(".npy"):
+        np.save(out, np.asarray(img))
+    else:
+        save_png(np.asarray(to_rgba8(img)), out)
+    log.info("wrote %s", out)
+
+
+def cmd_mesh(args) -> None:
+    from bsdmg_tpu.config import MeshGenConfig
+    from bsdmg_tpu.mesh import create_voxel_field, generate_mesh, refine_field
+    from bsdmg_tpu.mesh.export import save_field, save_obj, save_vtk
+    from bsdmg_tpu.utils import get_logger
+
+    log = get_logger()
+    scene_name = args.scene if args.scene != "reference_render_scene" else "reference_object"
+    scene = _get_scene(scene_name)
+    cfg = MeshGenConfig(
+        init_factor=args.init_factor,
+        bb_size=args.bb_size,
+        newton_iters=args.newton_iters,
+        interpolate_edges=args.interpolate_edges,
+    )
+
+    def on_level(field):
+        log.info(
+            "level %d: %d voxels of size %.5f",
+            field.level,
+            field.count,
+            field.voxel_size,
+        )
+        if args.checkpoint:
+            save_field(field, f"{args.checkpoint}.L{field.level}.npz")
+
+    t0 = time.perf_counter()
+    mesh = generate_mesh(
+        scene.bind(), refine_steps=args.refine, config=cfg, on_level=on_level
+    )
+    log.info(
+        "mesh: %d vertices, %d triangles in %.3fs",
+        mesh.vertex_count,
+        mesh.triangle_count,
+        time.perf_counter() - t0,
+    )
+    out = args.output or "generated_mesh.obj"
+    if out.endswith(".vtk"):
+        save_vtk(mesh, out)
+    else:
+        save_obj(mesh, out)
+    log.info("wrote %s", out)
+
+
+def cmd_animate(args) -> None:
+    import jax
+
+    from bsdmg_tpu.cam import generate_rays, look_at
+    from bsdmg_tpu.mesh.export import save_png
+    from bsdmg_tpu.ops.shade import render_image, to_rgba8
+    from bsdmg_tpu.utils import get_logger
+
+    log = get_logger()
+    scene = _get_scene(args.scene)
+    sdf = scene.bind()
+    render = jax.jit(lambda o, d, c: render_image(sdf, o, d, c))
+
+    radius = float(np.linalg.norm(args.camera))
+    for i in range(args.frames):
+        theta = 2 * math.pi * i / args.frames
+        pos = (radius * math.cos(theta), args.camera[1], radius * math.sin(theta))
+        cam = look_at(pos, tuple(args.target), fov=args.fov)
+        origins, dirs, cone = generate_rays(
+            cam, (args.width, args.height), (args.screen_width, args.screen_height)
+        )
+        img = jax.block_until_ready(render(origins, dirs, cone))
+        path = f"{args.output or 'frame'}_{i:04d}.png"
+        save_png(np.asarray(to_rgba8(img)), path)
+        log.info("frame %d/%d -> %s", i + 1, args.frames, path)
+
+
+def cmd_bench(args) -> None:
+    from bsdmg_tpu.bench import (
+        benchmark_marching_cubes,
+        benchmark_refine,
+        benchmark_render,
+    )
+
+    results = {}
+    if args.which in ("all", "render"):
+        r = benchmark_render(args.width, args.height)
+        results["render"] = {
+            "rays_per_s": r["rays_per_s"],
+            "ms_per_frame": r["seconds_per_frame"] * 1e3,
+        }
+    if args.which in ("all", "refine"):
+        r = benchmark_refine()
+        results["refine"] = {"voxels_per_s": r["voxels_per_s"]}
+    if args.which in ("all", "mc"):
+        r = benchmark_marching_cubes()
+        results["marching_cubes"] = {"voxels_per_s": r["voxels_per_s"]}
+    print(json.dumps(results, indent=2))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bsdmg", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common_camera(sp):
+        sp.add_argument("--camera", type=float, nargs=3, default=[5.0, 2.0, -5.0])
+        sp.add_argument("--target", type=float, nargs=3, default=[0.0, 0.0, 0.0])
+        sp.add_argument("--fov", type=float, default=math.pi / 4)
+        sp.add_argument("--width", type=int, default=1920)
+        sp.add_argument("--height", type=int, default=1080)
+        sp.add_argument("--screen-width", type=float, default=1920.0)
+        sp.add_argument("--screen-height", type=float, default=1080.0)
+
+    r = sub.add_parser("render", help="sphere-trace a scene to PNG/NPY")
+    _add_scene_arg(r)
+    common_camera(r)
+    r.add_argument("--output", "-o", default=None)
+    r.set_defaults(fn=cmd_render)
+
+    m = sub.add_parser("mesh", help="hierarchical refine + marching cubes -> OBJ/VTK")
+    _add_scene_arg(m)
+    m.add_argument("--refine", type=int, default=3, help="refinement levels")
+    m.add_argument("--init-factor", type=int, default=32)
+    m.add_argument("--bb-size", type=float, default=5.0)
+    m.add_argument("--newton-iters", type=int, default=24)
+    m.add_argument("--interpolate-edges", action="store_true")
+    m.add_argument("--checkpoint", default=None, help="save field npz per level")
+    m.add_argument("--output", "-o", default=None)
+    m.set_defaults(fn=cmd_mesh)
+
+    a = sub.add_parser("animate", help="render a camera orbit")
+    _add_scene_arg(a)
+    common_camera(a)
+    a.add_argument("--frames", type=int, default=8)
+    a.add_argument("--output", "-o", default=None)
+    a.set_defaults(fn=cmd_animate)
+
+    b = sub.add_parser("bench", help="operating-point benchmarks")
+    b.add_argument("--which", choices=["all", "render", "refine", "mc"], default="all")
+    b.add_argument("--width", type=int, default=1920)
+    b.add_argument("--height", type=int, default=1080)
+    b.set_defaults(fn=cmd_bench)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,146 @@
+"""Sharding tests on the 8-device virtual CPU mesh.
+
+Asserts sharded == single-device results and exercises the full multi-chip
+training step (render -> loss -> grad all-reduce -> optimizer update).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bsdmg_tpu.cam import generate_rays, look_at
+from bsdmg_tpu.grad import render_image_diff
+from bsdmg_tpu.models import reference_render_scene, sphere_scene
+from bsdmg_tpu.ops.shade import render_image
+from bsdmg_tpu.parallel import make_mesh, render_sharded, shard_rays, train_step
+from bsdmg_tpu.parallel.multihost import shard_voxels
+
+
+def _rays(w=32, h=16):
+    cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+    return generate_rays(cam, (w, h), (float(w), float(h)))
+
+
+class TestMesh:
+    def test_default_mesh_uses_all_devices(self):
+        mesh = make_mesh()
+        assert mesh.shape["dp"] == 8
+        assert mesh.shape["sp"] == 1
+
+    def test_2d_mesh(self):
+        mesh = make_mesh(shape=(4, 2))
+        assert mesh.shape == {"dp": 4, "sp": 2}
+
+    def test_bad_shape_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(shape=(3, 2))
+
+
+class TestShardedRender:
+    @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+    def test_matches_single_device(self, shape):
+        scene = reference_render_scene()
+        origins, dirs, cone = _rays(32, 16)
+        single = render_image(
+            scene.bind(), origins, dirs, cone, use_grad_normal=True
+        )
+
+        mesh = make_mesh(shape=shape)
+        o, d, c, unpermute = shard_rays(origins, dirs, cone, mesh)
+        img = render_sharded(scene.sdf, scene.params, o, d, c, mesh)
+        img = unpermute(np.asarray(img))
+        np.testing.assert_allclose(img, np.asarray(single), atol=1e-5)
+
+    def test_interleaved_rows_restore_order(self):
+        scene = sphere_scene(1.0)
+        origins, dirs, cone = _rays(16, 16)
+        single = render_image(scene.bind(), origins, dirs, cone, use_grad_normal=True)
+
+        mesh = make_mesh(shape=(8, 1))
+        o, d, c, unpermute = shard_rays(origins, dirs, cone, mesh, interleave=True)
+        img = unpermute(np.asarray(render_sharded(scene.sdf, scene.params, o, d, c, mesh)))
+        np.testing.assert_allclose(img, np.asarray(single), atol=1e-5)
+
+
+class TestShardedGradients:
+    def test_grads_match_single_device(self):
+        scene = reference_render_scene()
+        origins, dirs, cone = _rays(32, 16)
+        target = jnp.zeros(origins.shape[:-1] + (3,), jnp.float32)
+
+        def loss_fn(p, o, d, c):
+            img = render_image_diff(scene.sdf, p, o, d, c)
+            return jnp.mean((img - target) ** 2)
+
+        g_single = jax.grad(loss_fn)(scene.params, origins, dirs, cone)
+
+        mesh = make_mesh(shape=(4, 2))
+        o, d, c, _ = shard_rays(origins, dirs, cone, mesh, interleave=False)
+        target_sharded = jax.device_put(target, NamedSharding(mesh, P("dp", "sp")))
+
+        def loss_sharded(p, oo, dd, cc):
+            img = render_image_diff(scene.sdf, p, oo, dd, cc)
+            return jnp.mean((img - target_sharded) ** 2)
+
+        g_sharded = jax.jit(jax.grad(loss_sharded))(scene.params, o, d, c)
+        for k in g_single:
+            np.testing.assert_allclose(
+                np.asarray(g_single[k]), np.asarray(g_sharded[k]), atol=1e-5
+            ), k
+
+
+class TestTrainStep:
+    def test_full_training_step(self):
+        scene = sphere_scene(1.0)
+        origins, dirs, cone = _rays(16, 16)
+        target = render_image_diff(
+            scene.sdf, {"radius": jnp.float32(1.0)}, origins, dirs, cone
+        )
+
+        mesh = make_mesh()
+        o, d, c, _ = shard_rays(origins, dirs, cone, mesh, interleave=False)
+        target = jax.device_put(target, NamedSharding(mesh, P("dp", "sp")))
+
+        params = {"radius": jnp.float32(1.1)}
+        optimizer = optax.adam(1e-2)
+        opt_state = optimizer.init(params)
+
+        losses = []
+        for _ in range(5):
+            params, opt_state, loss = train_step(
+                scene.sdf, params, opt_state, optimizer, target, o, d, c, mesh
+            )
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+
+class TestVoxelSharding:
+    def test_refine_sharded_matches(self):
+        from bsdmg_tpu.ops.refine import refine_step
+
+        scene = sphere_scene(1.0).bind()
+        from bsdmg_tpu.config import MeshGenConfig
+        from bsdmg_tpu.mesh import create_voxel_field
+
+        cfg = MeshGenConfig(init_factor=8, bb_size=4.0)
+        field = create_voxel_field(cfg)
+
+        out_s, count_s, size_s = jax.jit(
+            lambda l, c, v: refine_step(scene, l, c, v), static_argnums=()
+        )(field.lowers, jnp.int32(field.count), jnp.float32(field.voxel_size))
+
+        mesh = make_mesh()
+        lowers = shard_voxels(field.lowers, mesh)
+        out_m, count_m, size_m = jax.jit(
+            lambda l, c, v: refine_step(scene, l, c, v)
+        )(lowers, jnp.int32(field.count), jnp.float32(field.voxel_size))
+
+        assert int(count_s) == int(count_m)
+        n = int(count_s)
+        np.testing.assert_allclose(
+            np.asarray(out_s)[:n], np.asarray(out_m)[:n], atol=1e-6
+        )
