@@ -34,7 +34,11 @@ def benchmark_render(
     use_pallas: bool | None = None,
     use_grad_normal: bool = False,
 ) -> dict[str, Any]:
-    """Rays/s of the reference-scene sphere trace at the given resolution."""
+    """Rays/s of the reference-scene sphere trace at the given resolution.
+
+    ``use_pallas=None`` auto-selects: the fused Pallas kernel on TPU, the
+    pure-JAX path elsewhere (Pallas interpret mode is not a benchmark).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -45,18 +49,35 @@ def benchmark_render(
     scene = reference_render_scene()
     cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
     origins, dirs, cone = generate_rays(cam, (width, height), (1920.0, 1080.0))
-    sdf = scene.bind()
 
-    render = jax.jit(
-        lambda o, d, c: render_image(sdf, o, d, c, use_grad_normal=use_grad_normal)
-    )
-    best = _sync_time(lambda: render(origins, dirs, cone), iters=iters)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    if use_pallas:
+        from bsdmg_tpu.ops.pallas import compile_scene_csdf
+        from bsdmg_tpu.ops.pallas.csdf import scene_bounds
+        from bsdmg_tpu.ops.pallas.render_kernel import render_image_pallas
+
+        csdf = compile_scene_csdf(scene)
+        bb = scene_bounds(scene)
+        render = lambda: render_image_pallas(
+            csdf, origins, dirs, cone, bb=bb, two_phase=False
+        )
+    else:
+        sdf = scene.bind()
+        jrender = jax.jit(
+            lambda o, d, c: render_image(sdf, o, d, c, use_grad_normal=use_grad_normal)
+        )
+        render = lambda: jrender(origins, dirs, cone)
+
+    best = _sync_time(render, iters=iters)
     rays = width * height
     return {
         "rays_per_s": rays / best,
         "seconds_per_frame": best,
         "width": width,
         "height": height,
+        "pallas": bool(use_pallas),
     }
 
 

@@ -23,10 +23,15 @@ from bsdmg_tpu.mesh.pipeline import Mesh
 # ---------------------------------------------------------------------------
 
 
-def save_obj(mesh: Mesh, path: str | Path) -> None:
+def save_obj(mesh: Mesh, path: str | Path, *, use_native: bool = True) -> None:
     """Wavefront OBJ with positions + normals, faces as ``v//vn`` (indices
     identical, as the reference asserts in obj_to_bevy_mesh,
-    src/renderer/mod.rs:121)."""
+    src/renderer/mod.rs:121). Uses the native buffered writer when built."""
+    if use_native:
+        from bsdmg_tpu.runtime.native import write_obj_native
+
+        if write_obj_native(path, mesh.vertices, mesh.normals, mesh.faces):
+            return
     lines = ["# bsdmg_tpu generated mesh"]
     for v in mesh.vertices:
         lines.append(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}")

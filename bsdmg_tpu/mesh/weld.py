@@ -18,6 +18,8 @@ def weld_vertices(
     positions: np.ndarray,
     normals: np.ndarray,
     quantization: float = 1e5,
+    *,
+    use_native: bool = True,
 ):
     """Weld a triangle soup into an indexed mesh.
 
@@ -33,6 +35,13 @@ def weld_vertices(
     """
     positions = np.asarray(positions, np.float32).reshape(-1, 3)
     normals = np.asarray(normals, np.float32).reshape(-1, 3)
+
+    if use_native:
+        from bsdmg_tpu.runtime.native import weld_vertices_native
+
+        result = weld_vertices_native(positions, normals, quantization)
+        if result is not None:
+            return result
 
     keys = np.round(positions * quantization).astype(np.int64)
     # lexicographic unique with first-encounter order

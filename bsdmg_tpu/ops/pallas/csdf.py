@@ -1,0 +1,265 @@
+"""Component-form SDFs for Pallas kernels.
+
+Inside a TPU kernel, arrays live in (sublane, lane) tiles; a trailing
+length-3 vector axis forces awkward relayouts. A *component SDF* ("csdf")
+takes three same-shape coordinate planes and returns a distance plane::
+
+    csdf(x, y, z) -> d      # all (S, L) arrays
+
+:func:`compile_scene_csdf` lowers the built-in scene families (reference
+object/render scene, sphere, box, capsule sets) to component form with the
+parameters baked as compile-time constants — the right trade for a render
+kernel that retraces only when the scene changes. Scenes outside the
+registry fall back to the pure-JAX tracer path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from bsdmg_tpu.models.scenes import Scene
+from bsdmg_tpu.sdf.primitives import _box_skeleton_edges
+
+CSdf = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def smooth_min_c(a, b, k: float):
+    """Cubic smooth-min on planes (signed_distance.cu:20-23)."""
+    h = jnp.maximum(k - jnp.abs(a - b), 0.0) * (1.0 / k)
+    return jnp.minimum(a, b) - h * h * h * (k / 6.0)
+
+
+def sphere_csdf(cx: float, cy: float, cz: float, radius: float) -> CSdf:
+    def f(x, y, z):
+        dx, dy, dz = x - cx, y - cy, z - cz
+        return jnp.sqrt(dx * dx + dy * dy + dz * dz) - radius
+
+    return f
+
+
+def box_csdf(center, size) -> CSdf:
+    cx, cy, cz = (float(v) for v in np.broadcast_to(center, (3,)))
+    hx, hy, hz = (float(v) / 2.0 for v in np.broadcast_to(size, (3,)))
+
+    def f(x, y, z):
+        qx = jnp.abs(x - cx) - hx
+        qy = jnp.abs(y - cy) - hy
+        qz = jnp.abs(z - cz) - hz
+        ox = jnp.maximum(qx, 0.0)
+        oy = jnp.maximum(qy, 0.0)
+        oz = jnp.maximum(qz, 0.0)
+        outside = jnp.sqrt(ox * ox + oy * oy + oz * oz)
+        inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
+        return outside + inside
+
+    return f
+
+
+def _capsule_params(starts: np.ndarray, ends: np.ndarray):
+    starts = np.asarray(starts, np.float64)
+    ends = np.asarray(ends, np.float64)
+    segs = ends - starts
+    lengths = np.linalg.norm(segs, axis=1)
+    dirs = segs / lengths[:, None]
+    return [
+        (
+            tuple(map(float, starts[e])),
+            tuple(map(float, dirs[e])),
+            float(lengths[e]),
+        )
+        for e in range(starts.shape[0])
+    ]
+
+
+def _axis_aligned_groups(starts: np.ndarray, ends: np.ndarray):
+    """Group axis-aligned segments by (axis, start-along-axis, length).
+
+    Returns ``None`` unless *every* segment is axis-aligned. Each group shares
+    one clamped-projection computation; perpendicular offsets within a group
+    reduce to cached squared coordinate differences.
+    """
+    starts = np.asarray(starts, np.float64)
+    ends = np.asarray(ends, np.float64)
+    groups: dict = {}
+    for s, e in zip(starts, ends):
+        seg = e - s
+        nz = np.nonzero(np.abs(seg) > 1e-12)[0]
+        if len(nz) != 1:
+            return None
+        axis = int(nz[0])
+        length = float(seg[axis])
+        if length < 0:
+            s, length = e, -length
+        key = (axis, round(float(s[axis]), 9), round(length, 9))
+        perp = tuple(
+            (a, round(float(s[a]), 9)) for a in range(3) if a != axis
+        )
+        groups.setdefault(key, []).append(perp)
+    return groups
+
+
+def capsule_set_sq_csdf(starts: np.ndarray, ends: np.ndarray) -> CSdf:
+    """*Squared* min distance to a static capsule-axis set.
+
+    Two TPU optimizations over the reference's per-edge ``sd_line`` loop
+    (signed_distance.cu:93-113):
+
+    * within a same-radius group ``min`` commutes with ``sqrt``, so the
+      per-capsule transcendental collapses to one ``sqrt`` per group;
+    * axis-aligned edges (every box skeleton) share their clamped axial
+      projection per parallel-edge group, and the perpendicular squared
+      offsets are cached per distinct coordinate — a 4-edge group costs
+      ~24 VPU ops instead of ~76.
+    """
+    groups = _axis_aligned_groups(starts, ends)
+
+    if groups is not None:
+
+        def f_aligned(x, y, z):
+            coords = (x, y, z)
+            sq_cache: dict = {}
+
+            def sq_off(axis, value):
+                key = (axis, value)
+                if key not in sq_cache:
+                    d = coords[axis] - value
+                    sq_cache[key] = d * d
+                return sq_cache[key]
+
+            best = None
+            for (axis, a0, length), perps in groups.items():
+                r = coords[axis] - a0
+                t = jnp.clip(r, 0.0, length)
+                e = r - t
+                axial = e * e
+                for perp in perps:
+                    d2 = axial + sq_off(*perp[0]) + sq_off(*perp[1])
+                    best = d2 if best is None else jnp.minimum(best, d2)
+            return best
+
+        return f_aligned
+
+    params = _capsule_params(starts, ends)
+
+    def f(x, y, z):
+        best = None
+        for (ax, ay, az), (ux, uy, uz), ln in params:
+            rx, ry, rz = x - ax, y - ay, z - az
+            t = jnp.clip(rx * ux + ry * uy + rz * uz, 0.0, ln)
+            dx = rx - t * ux
+            dy = ry - t * uy
+            dz = rz - t * uz
+            d2 = dx * dx + dy * dy + dz * dz
+            best = d2 if best is None else jnp.minimum(best, d2)
+        return best
+
+    return f
+
+
+def capsule_set_csdf(starts: np.ndarray, ends: np.ndarray, radius: float) -> CSdf:
+    """Min distance to a static set of capsules (segments minus ``radius``)."""
+    sq = capsule_set_sq_csdf(starts, ends)
+
+    def f(x, y, z):
+        return jnp.sqrt(sq(x, y, z)) - radius
+
+    return f
+
+
+def box_skeleton_csdf(center, size, line_width: float, *, reference_compat=True) -> CSdf:
+    starts, ends = _box_skeleton_edges(center, size, reference_compat)
+    return capsule_set_csdf(np.asarray(starts), np.asarray(ends), line_width)
+
+
+def min_csdf(*fs: CSdf) -> CSdf:
+    def f(x, y, z):
+        ds = [g(x, y, z) for g in fs]
+        out = ds[0]
+        for d in ds[1:]:
+            out = jnp.minimum(out, d)
+        return out
+
+    return f
+
+
+def reference_object_csdf(params, *, reference_compat: bool = True) -> CSdf:
+    """Component form of sd_obj (cuda/modules/common.cu:222-226)."""
+    center = np.asarray(params["skeleton_center"], np.float64)
+    size = np.asarray(params["skeleton_size"], np.float64)
+    lw = float(params["skeleton_line_width"])
+    r = float(params["sphere_radius"])
+    k = float(params["smooth_k"])
+
+    skel = box_skeleton_csdf(center, size, lw, reference_compat=reference_compat)
+    sph = sphere_csdf(0.0, 0.0, 0.0, r)
+
+    def f(x, y, z):
+        return smooth_min_c(skel(x, y, z), sph(x, y, z), k)
+
+    return f
+
+
+def reference_render_scene_csdf(
+    params, *, bb_size: float = 5.0, reference_compat: bool = True
+) -> CSdf:
+    """Component form of sd_scene (cuda/modules/compute_render.cu:3-19)."""
+    obj = reference_object_csdf(params, reference_compat=reference_compat)
+    frame = box_skeleton_csdf(
+        np.zeros(3), np.full(3, bb_size), 0.05, reference_compat=reference_compat
+    )
+    return min_csdf(obj, frame)
+
+
+def scene_bounds(scene: Scene, params=None) -> tuple | None:
+    """Conservative AABB containing the scene surface, as nested float tuples
+    ``((lx,ly,lz),(hx,hy,hz))`` — static input to the render kernel's BB-skip.
+
+    Includes the smooth-min under-estimation slack (``smooth_min(a,b,k) >=
+    min(a,b) - k/6``) so the skip can never cull a ray that might collide.
+    """
+    p = scene.params if params is None else params
+    if scene.name in ("reference_object", "reference_render_scene"):
+        # bound from the *actual* edge geometry — in reference-compat mode
+        # the skeleton's misplaced edges (signed_distance.cu:101) extend far
+        # beyond the nominal box, so a size-derived bound would cull real
+        # geometry (caught by tests/test_pallas.py::test_bounds_contain_surface)
+        starts, ends = _box_skeleton_edges(
+            np.asarray(p["skeleton_center"], np.float32),
+            np.asarray(p["skeleton_size"], np.float32),
+            reference_compat=True,
+        )
+        pts = np.concatenate([np.asarray(starts), np.asarray(ends)], axis=0)
+        lw = float(p["skeleton_line_width"])
+        r = float(p["sphere_radius"])
+        slack = float(p["smooth_k"]) / 6.0 + 1e-3
+        lo = np.minimum(pts.min(axis=0) - lw, -r) - slack
+        hi = np.maximum(pts.max(axis=0) + lw, r) + slack
+        if scene.name == "reference_render_scene":
+            lo = np.minimum(lo, -2.5 - 0.05 - 1e-3)
+            hi = np.maximum(hi, 2.5 + 0.05 + 1e-3)
+        return (tuple(map(float, lo)), tuple(map(float, hi)))
+    if scene.name == "sphere":
+        r = float(p["radius"]) + 1e-3
+        return ((-r, -r, -r), (r, r, r))
+    if scene.name == "box":
+        half = np.asarray(p["size"], np.float64) / 2.0 + 1e-3
+        return (tuple(map(float, -half)), tuple(map(float, half)))
+    return None
+
+
+def compile_scene_csdf(scene: Scene, params=None) -> CSdf | None:
+    """Lower a built-in scene to component form; ``None`` if unsupported
+    (callers fall back to the pure-JAX tracer)."""
+    p = scene.params if params is None else params
+    if scene.name == "reference_object":
+        return reference_object_csdf(p)
+    if scene.name == "reference_render_scene":
+        return reference_render_scene_csdf(p)
+    if scene.name == "sphere":
+        return sphere_csdf(0.0, 0.0, 0.0, float(p["radius"]))
+    if scene.name == "box":
+        return box_csdf(np.zeros(3), np.asarray(p["size"]))
+    return None

@@ -1,0 +1,509 @@
+"""Fused Pallas render path: BB-skip -> tiled march -> compacted tail -> shade.
+
+Pipeline (each stage a Pallas kernel; the orchestrator is eager so the tail
+capacity can come from the measured active count):
+
+1. **Phase A — tiled march.** The image is cut into native (8, 128) tiles;
+   each tile sphere-traces under a per-tile ``while_loop`` with a step cap.
+   A per-ray AABB slab pre-pass (box inflated by the worst-case collision
+   threshold) resolves sky rays instantly — they can never collide. Tiles
+   full of sky exit after one iteration; only tiles near geometry march.
+2. **Phase B — compacted tail.** Rays still active after the cap (silhouette
+   grazers, frame-line neighborhoods) are compacted into a dense buffer with
+   ``nonzero``/gather, marched to completion in a second kernel where every
+   lane is a slow ray, and scattered back. This converts the per-*tile*
+   worst case into a per-*ray* worst case for the 1-3% tail — the TPU answer
+   to CUDA warp divergence (SURVEY §7 hard-part 1).
+3. **Shade.** FD normals (12 SDF evals), Lambert mix, ACES in a third kernel;
+   tiles without collisions skip the normal evaluations (``@pl.when``).
+
+The classic single-phase fused kernel remains available (``two_phase=False``)
+and is bit-equivalent to the pure-JAX tracer + shader.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bsdmg_tpu.config import MarchConfig
+from bsdmg_tpu.ops.pallas.trace_kernel import TILE_L, TILE_S, _pad2
+from bsdmg_tpu.ops.shade import COLOR_HIGH, COLOR_LOW, _ACES_M1, _ACES_M2
+from bsdmg_tpu.ops.trace import COLLISION, DEPTH_LIMIT, STEP_LIMIT
+
+_LIGHT = (1.0 / np.sqrt(3.0),) * 3  # normalize(vec3(1,1,1)), compute_render.cu:67
+
+
+# ---------------------------------------------------------------------------
+# shared march pieces
+# ---------------------------------------------------------------------------
+
+
+def _slab_enter(ox, oy, oz, dx, dy, dz, lo, hi, margin):
+    """Per-ray slab test against [lo - margin, hi + margin]^3.
+
+    Returns ``(miss, t_enter)`` planes (the reference's scalar helper:
+    signed_distance.cu:142-175, unused by its kernels)."""
+
+    def axis(o, d, lo_a, hi_a):
+        d_safe = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+        inv = 1.0 / d_safe
+        t1 = (lo_a - margin - o) * inv
+        t2 = (hi_a + margin - o) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    nx, fx = axis(ox, dx, lo[0], hi[0])
+    ny, fy = axis(oy, dy, lo[1], hi[1])
+    nz, fz = axis(oz, dz, lo[2], hi[2])
+    tmin = jnp.maximum(nx, jnp.maximum(ny, nz))
+    tmax = jnp.minimum(fx, jnp.minimum(fy, fz))
+    t_enter = jnp.maximum(tmin, 0.0)
+    miss = tmax < t_enter
+    return miss, t_enter
+
+
+def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budget,
+           chunk: int = 4):
+    """March loop on planes. Returns (depth, steps, outcome, active).
+
+    ``steps0`` carries prior progress (phase B resumes phase A's counter);
+    ``budget`` caps total per-ray steps at ``min(budget, config.step_limit)``.
+
+    The tile-wide any-active reduction for the ``while`` condition is paid
+    once per ``chunk`` steps (a ``fori_loop`` inside the ``while``), trading
+    at most ``chunk - 1`` wasted masked iterations per tile for ``chunk``-fold
+    fewer cross-lane reduces.
+    """
+    eps = config.collision_distance
+    step_cap = min(int(budget), config.step_limit)
+    ox, oy, oz = o
+    dx, dy, dz = d
+
+    def step_body(_, carry):
+        px, py, pz, depth, steps, outcome, active_i = carry
+        active = active_i > 0
+        cd = cone * depth
+        dist = csdf(px, py, pz)
+
+        hit = active & (dist <= cd + eps)
+        outcome = jnp.where(hit, COLLISION, outcome)
+
+        advance = active & ~hit
+        step = dist - cd
+        depth = jnp.where(advance, depth + step, depth)
+        px = jnp.where(advance, px + step * dx, px)
+        py = jnp.where(advance, py + step * dy, py)
+        pz = jnp.where(advance, pz + step * dz, pz)
+
+        over = advance & (depth > config.depth_limit)
+        outcome = jnp.where(over, DEPTH_LIMIT, outcome)
+
+        survived = advance & ~over
+        steps = jnp.where(survived, steps + 1, steps)
+        active = survived & (steps < step_cap)
+        return (px, py, pz, depth, steps, outcome, active.astype(jnp.int32))
+
+    def cond(carry):
+        return carry[-1] > 0
+
+    def body(carry):
+        state = jax.lax.fori_loop(0, chunk, step_body, carry[0])
+        return (state, jnp.sum(state[-1]))
+
+    shape = dx.shape
+    active0_i = active0.astype(jnp.int32)
+    state0 = (
+        ox + depth0 * dx,
+        oy + depth0 * dy,
+        oz + depth0 * dz,
+        depth0,
+        steps0,
+        jnp.where(active0, STEP_LIMIT, DEPTH_LIMIT).astype(jnp.int32),
+        active0_i,
+    )
+    state, _ = jax.lax.while_loop(
+        cond, body, (state0, jnp.sum(active0_i))
+    )
+    _, _, _, depth, steps, outcome, active_i = state
+    # still-active rays (hit neither surface nor depth limit inside budget)
+    unresolved = (active_i > 0) | (
+        (outcome == STEP_LIMIT) & (steps >= step_cap) & (steps < config.step_limit)
+    )
+    return depth, steps, outcome, unresolved
+
+
+def _fd_normal(csdf, px, py, pz, eps: float):
+    """4th-order FD normal on planes (12 evals; signed_distance.cu:181-202)."""
+
+    def deriv(fp2, fp1, fm1, fm2):
+        return -fp2 + 8.0 * fp1 - 8.0 * fm1 + fm2
+
+    gx = deriv(
+        csdf(px + 2 * eps, py, pz), csdf(px + eps, py, pz),
+        csdf(px - eps, py, pz), csdf(px - 2 * eps, py, pz),
+    )
+    gy = deriv(
+        csdf(px, py + 2 * eps, pz), csdf(px, py + eps, pz),
+        csdf(px, py - eps, pz), csdf(px, py - 2 * eps, pz),
+    )
+    gz = deriv(
+        csdf(px, py, pz + 2 * eps), csdf(px, py, pz + eps),
+        csdf(px, py, pz - eps), csdf(px, py, pz - 2 * eps),
+    )
+    inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-24))
+    return gx * inv, gy * inv, gz * inv
+
+
+def _aces_plane(r, g, b):
+    def mat(m, x, y, z):
+        return (
+            m[0][0] * x + m[0][1] * y + m[0][2] * z,
+            m[1][0] * x + m[1][1] * y + m[1][2] * z,
+            m[2][0] * x + m[2][1] * y + m[2][2] * z,
+        )
+
+    vr, vg, vb = mat(_ACES_M1, r, g, b)
+
+    def curve(v):
+        a = v * (v + 0.0245786) - 0.000090537
+        bb = v * (0.983729 * v + 0.4329510) + 0.238081
+        return a / bb
+
+    rr, gg, bb = mat(_ACES_M2, curve(vr), curve(vg), curve(vb))
+    clip = lambda v: jnp.clip(v, 0.0, 1.0)
+    return clip(rr), clip(gg), clip(bb)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _trace_kernel(csdf, config: MarchConfig, bb, use_bb_skip: bool, budget: int):
+    def kernel(
+        ox_ref, oy_ref, oz_ref,
+        dx_ref, dy_ref, dz_ref,
+        cone_ref, depth0_ref, steps0_ref, active0_ref,
+        depth_ref, steps_ref, outcome_ref, active_ref,
+    ):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        cone = cone_ref[:]
+
+        active0 = active0_ref[:] > 0
+        depth0 = depth0_ref[:]
+        steps0 = steps0_ref[:]
+
+        if use_bb_skip and bb is not None:
+            # worst-case collision threshold along the ray plus slack for the
+            # smooth-min under-estimate near the box (see csdf.scene_bounds)
+            margin = cone * config.depth_limit + config.collision_distance + 0.1
+            miss, t_enter = _slab_enter(ox, oy, oz, dx, dy, dz, bb[0], bb[1], margin)
+            skip = active0 & miss
+            active0 = active0 & ~miss
+            depth0 = jnp.where(active0, jnp.maximum(depth0, t_enter), depth0)
+            depth0 = jnp.where(skip, config.depth_limit * 1.01, depth0)
+
+        depth, steps, outcome, unresolved = _march(
+            csdf, config, (ox, oy, oz), (dx, dy, dz), cone,
+            active0, depth0, steps0, budget,
+        )
+        depth_ref[:] = depth
+        steps_ref[:] = steps
+        outcome_ref[:] = outcome
+        active_ref[:] = unresolved.astype(jnp.int32)
+
+    return kernel
+
+
+def _shade_kernel(csdf, config: MarchConfig):
+    def kernel(
+        ox_ref, oy_ref, oz_ref,
+        dx_ref, dy_ref, dz_ref,
+        depth_ref, outcome_ref,
+        r_ref, g_ref, b_ref,
+    ):
+        outcome = outcome_ref[:]
+        collided = outcome == COLLISION
+        any_collision = jnp.sum(collided.astype(jnp.int32)) > 0
+        white = (outcome == STEP_LIMIT).astype(jnp.float32)
+
+        @pl.when(any_collision)
+        def _():
+            depth = depth_ref[:]
+            px = ox_ref[:] + depth * dx_ref[:]
+            py = oy_ref[:] + depth * dy_ref[:]
+            pz = oz_ref[:] + depth * dz_ref[:]
+            nx, ny, nz = _fd_normal(csdf, px, py, pz, config.normal_epsilon)
+            t = (nx * _LIGHT[0] + ny * _LIGHT[1] + nz * _LIGHT[2] + 1.0) * 0.5
+            cr = COLOR_LOW[0] + t * (COLOR_HIGH[0] - COLOR_LOW[0])
+            cg = COLOR_LOW[1] + t * (COLOR_HIGH[1] - COLOR_LOW[1])
+            cb = COLOR_LOW[2] + t * (COLOR_HIGH[2] - COLOR_LOW[2])
+            cr = jnp.where(collided, cr, white)
+            cg = jnp.where(collided, cg, white)
+            cb = jnp.where(collided, cb, white)
+            rr, gg, bbv = _aces_plane(cr, cg, cb)
+            r_ref[:] = rr
+            g_ref[:] = gg
+            b_ref[:] = bbv
+
+        @pl.when(~any_collision)
+        def _():
+            rr, gg, bbv = _aces_plane(white, white, white)
+            r_ref[:] = rr
+            g_ref[:] = gg
+            b_ref[:] = bbv
+
+    return kernel
+
+
+def _tile_spec():
+    return pl.BlockSpec((TILE_S, TILE_L), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("csdf", "config", "bb", "use_bb_skip", "budget", "interpret")
+)
+def _trace_call(csdf, o, d, cone, depth0, steps0, active0, config, bb, use_bb_skip,
+                budget, interpret):
+    h, w = cone.shape
+    spec = _tile_spec()
+    f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((h, w), jnp.int32)
+    return pl.pallas_call(
+        _trace_kernel(csdf, config, bb, use_bb_skip, budget),
+        grid=(h // TILE_S, w // TILE_L),
+        in_specs=[spec] * 10,
+        out_specs=[spec] * 4,
+        out_shape=[f32, i32, i32, i32],
+        interpret=interpret,
+    )(
+        o[..., 0], o[..., 1], o[..., 2],
+        d[..., 0], d[..., 1], d[..., 2],
+        cone, depth0, steps0, active0,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("csdf", "config", "interpret"))
+def _shade_call(csdf, o, d, depth, outcome, config, interpret):
+    h, w = depth.shape
+    spec = _tile_spec()
+    f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    return pl.pallas_call(
+        _shade_kernel(csdf, config),
+        grid=(h // TILE_S, w // TILE_L),
+        in_specs=[spec] * 8,
+        out_specs=[spec] * 3,
+        out_shape=[f32, f32, f32],
+        interpret=interpret,
+    )(
+        o[..., 0], o[..., 1], o[..., 2],
+        d[..., 0], d[..., 1], d[..., 2],
+        depth, outcome,
+    )
+
+
+# ---------------------------------------------------------------------------
+# orchestrator — one jit, zero host syncs per frame
+# ---------------------------------------------------------------------------
+
+
+def _pad_planes(origins, directions, cone, h, w, hp, wp):
+    cone_p = _pad2(jnp.broadcast_to(jnp.asarray(cone, jnp.float32), (h, w)), hp, wp, 0.0)
+    o_p = jnp.stack([_pad2(origins[..., a], hp, wp, 1e5) for a in range(3)], axis=-1)
+    d_p = jnp.stack(
+        [_pad2(directions[..., a], hp, wp, 1.0 if a == 0 else 0.0) for a in range(3)],
+        axis=-1,
+    )
+    return o_p, d_p, cone_p
+
+
+def _gather_active(active, o, d, cone, depth, steps, cap: int):
+    """Compact active rays into a dense (cap/128, 128) layout (prefix-sum
+    free: jnp.nonzero with a static size). Overflow rays beyond ``cap`` stay
+    in place and are handled by the residual pass."""
+    n = active.shape[0] * active.shape[1]
+    flat = active.reshape(-1) > 0
+    idx = jnp.nonzero(flat, size=cap, fill_value=n)[0]
+    valid = idx < n
+    safe = jnp.minimum(idx, n - 1)
+
+    rows = -(-cap // TILE_L)
+
+    def take(x, fill):
+        g = x.reshape(n, -1)[safe]
+        g = jnp.where(valid[:, None], g, fill).reshape(rows, TILE_L, -1)
+        return g.squeeze(-1) if g.shape[-1] == 1 else g
+
+    return (
+        idx,
+        valid.reshape(rows, TILE_L),
+        take(o, 1e5),
+        take(d, 0.0),
+        take(cone, 0.0),
+        take(depth, 0.0),
+        take(steps, 0),
+    )
+
+
+def _scatter_back(idx, full, tail):
+    out = []
+    for f, t in zip(full, tail):
+        shape = f.shape
+        out.append(
+            f.reshape(-1).at[idx].set(t.reshape(-1), mode="drop").reshape(shape)
+        )
+    return tuple(out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "csdf", "config", "bb", "use_bb_skip", "two_phase", "phase_a_steps",
+        "tail_cap", "interpret",
+    ),
+)
+def _trace_pipeline(
+    csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
+    phase_a_steps, tail_cap, interpret,
+):
+    hp, wp = cone_p.shape
+    zero_f = jnp.zeros((hp, wp), jnp.float32)
+    zero_i = jnp.zeros((hp, wp), jnp.int32)
+    ones_i = jnp.ones((hp, wp), jnp.int32)
+
+    budget = phase_a_steps if two_phase else 10**9
+    depth, steps, outcome, active = _trace_call(
+        csdf, o_p, d_p, cone_p, zero_f, zero_i, ones_i,
+        config, bb, use_bb_skip, budget, interpret,
+    )
+
+    if not two_phase:
+        return depth, steps, outcome
+
+    # phase B: compacted tail, fixed capacity, no host sync
+    idx, valid, o_g, d_g, cone_g, depth_g, steps_g = _gather_active(
+        active, o_p, d_p, cone_p, depth, steps, tail_cap
+    )
+    depth_t, steps_t, outcome_t, _ = _trace_call(
+        csdf, o_g, d_g, cone_g, depth_g, steps_g, valid.astype(jnp.int32),
+        config, bb, False, 10**9, interpret,
+    )
+    depth, steps, outcome = _scatter_back(
+        idx, (depth, steps, outcome), (depth_t, steps_t, outcome_t)
+    )
+
+    # phase C safety: if the tail overflowed tail_cap, finish the leftovers
+    # with a masked full-image pass (tiles with no active rays exit at once).
+    served = (
+        jnp.zeros(hp * wp, jnp.int32).at[idx].set(1, mode="drop").reshape(hp, wp)
+    )
+    leftover = (active > 0) & (served == 0)
+    any_left = jnp.any(leftover)
+
+    def phase_c(args):
+        depth, steps, outcome = args
+        d2, s2, oc2, _ = _trace_call(
+            csdf, o_p, d_p, cone_p, depth, steps, leftover.astype(jnp.int32),
+            config, bb, False, 10**9, interpret,
+        )
+        keep = leftover
+        return (
+            jnp.where(keep, d2, depth),
+            jnp.where(keep, s2, steps),
+            jnp.where(keep, oc2, outcome),
+        )
+
+    depth, steps, outcome = jax.lax.cond(
+        any_left, phase_c, lambda a: a, (depth, steps, outcome)
+    )
+    return depth, steps, outcome
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "csdf", "config", "bb", "use_bb_skip", "two_phase", "phase_a_steps",
+        "tail_cap", "interpret", "h", "w",
+    ),
+)
+def _render_pipeline(
+    csdf, origins, directions, cone_radius, config, bb, use_bb_skip,
+    two_phase, phase_a_steps, tail_cap, interpret, h, w,
+):
+    hp = -(-h // TILE_S) * TILE_S
+    wp = -(-w // TILE_L) * TILE_L
+    o_p, d_p, cone_p = _pad_planes(origins, directions, cone_radius, h, w, hp, wp)
+    depth, steps, outcome = _trace_pipeline(
+        csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
+        phase_a_steps, tail_cap, interpret,
+    )
+    r, g, b = _shade_call(csdf, o_p, d_p, depth, outcome, config, interpret)
+    return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
+
+
+def _default_tail_cap(h: int, w: int) -> int:
+    # ~6% of rays, in whole (8,128) tiles
+    return max(1024, -(-(h * w // 16) // 1024) * 1024)
+
+
+def trace_pallas(
+    csdf: Callable,
+    origins: jax.Array,
+    directions: jax.Array,
+    cone_radius,
+    config: MarchConfig = MarchConfig(),
+    *,
+    bb: tuple | None = None,
+    use_bb_skip: bool = True,
+    two_phase: bool = True,
+    phase_a_steps: int = 32,
+    tail_cap: int | None = None,
+    interpret: bool = False,
+):
+    """Trace an (H, W) ray image. Returns (depth, steps, outcome) planes."""
+    h, w = origins.shape[:2]
+    hp = -(-h // TILE_S) * TILE_S
+    wp = -(-w // TILE_L) * TILE_L
+    o_p, d_p, cone_p = _pad_planes(origins, directions, cone_radius, h, w, hp, wp)
+    if tail_cap is None:
+        tail_cap = _default_tail_cap(h, w)
+    depth, steps, outcome = _trace_pipeline(
+        csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
+        phase_a_steps, tail_cap, interpret,
+    )
+    return depth[:h, :w], steps[:h, :w], outcome[:h, :w]
+
+
+def render_image_pallas(
+    csdf: Callable,
+    origins: jax.Array,
+    directions: jax.Array,
+    cone_radius,
+    config: MarchConfig = MarchConfig(),
+    *,
+    bb: tuple | None = None,
+    use_bb_skip: bool = True,
+    two_phase: bool = True,
+    phase_a_steps: int = 32,
+    tail_cap: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full fused render (single dispatch, no host syncs).
+
+    Returns linear RGB ``(H, W, 3)``."""
+    h, w = origins.shape[:2]
+    if tail_cap is None:
+        tail_cap = _default_tail_cap(h, w)
+    return _render_pipeline(
+        csdf, origins, directions,
+        jnp.broadcast_to(jnp.asarray(cone_radius, jnp.float32), (h, w)),
+        config, bb, use_bb_skip, two_phase, phase_a_steps, tail_cap,
+        interpret, h, w,
+    )

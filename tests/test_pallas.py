@@ -1,0 +1,129 @@
+"""Pallas kernel tests (interpreter mode on CPU) against the pure-JAX oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bsdmg_tpu.cam import generate_rays, look_at
+from bsdmg_tpu.config import MarchConfig
+from bsdmg_tpu.models import box_scene, reference_render_scene, sphere_scene
+from bsdmg_tpu.ops.shade import render_image
+from bsdmg_tpu.ops.trace import COLLISION, sphere_trace
+from bsdmg_tpu.ops.pallas import compile_scene_csdf, sphere_trace_pallas
+from bsdmg_tpu.ops.pallas.csdf import scene_bounds
+from bsdmg_tpu.ops.pallas.render_kernel import render_image_pallas, trace_pallas
+
+
+def _rays(scene_cam=(5.0, 2.0, -5.0), w=256, h=64):
+    cam = look_at(scene_cam, fov=np.pi / 4)
+    return generate_rays(cam, (w, h), (1920.0, 1080.0))
+
+
+class TestCsdf:
+    @pytest.mark.parametrize(
+        "scene_fn", [reference_render_scene, lambda: sphere_scene(1.0), lambda: box_scene((2.0, 1.0, 0.5))]
+    )
+    def test_matches_stacked_sdf(self, scene_fn):
+        scene = scene_fn()
+        csdf = compile_scene_csdf(scene)
+        assert csdf is not None
+        rng = np.random.RandomState(0)
+        p = rng.uniform(-4, 4, (8, 128, 3)).astype(np.float32)
+        ours = np.asarray(csdf(jnp.asarray(p[..., 0]), jnp.asarray(p[..., 1]), jnp.asarray(p[..., 2])))
+        ref = np.asarray(scene.bind()(jnp.asarray(p)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_bounds_contain_surface(self):
+        scene = reference_render_scene()
+        bb = scene_bounds(scene)
+        lo, hi = np.asarray(bb[0]), np.asarray(bb[1])
+        # sample surface-ish points via the sdf: points with |sd| small
+        rng = np.random.RandomState(1)
+        p = rng.uniform(-3.5, 3.5, (8192, 3)).astype(np.float32)
+        sd = np.asarray(scene.bind()(jnp.asarray(p)))
+        # all interior points (sd <= 0) lie inside the bound, and near-surface
+        # points lie within their own distance of it
+        inside = p[sd <= 0]
+        assert len(inside) > 0
+        assert (inside >= lo - 1e-5).all() and (inside <= hi + 1e-5).all()
+        near = p[np.abs(sd) < 0.05]
+        assert (near >= lo - 0.05 - 1e-5).all() and (near <= hi + 0.05 + 1e-5).all()
+
+    def test_unknown_scene_returns_none(self):
+        from bsdmg_tpu.models.scenes import Scene
+
+        dummy = Scene("custom", lambda q, p: jnp.zeros(p.shape[:-1]), {})
+        assert compile_scene_csdf(dummy) is None
+
+
+class TestPallasTracer:
+    def test_matches_pure_tracer(self):
+        scene = reference_render_scene()
+        csdf = compile_scene_csdf(scene)
+        origins, dirs, cone = _rays()
+        ref = sphere_trace(scene.bind(), origins, dirs, cone)
+        pal = sphere_trace_pallas(csdf, origins, dirs, cone, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.outcome), np.asarray(pal.outcome))
+        np.testing.assert_array_equal(np.asarray(ref.steps), np.asarray(pal.steps))
+        coll = np.asarray(ref.outcome) == COLLISION
+        depth_diff = np.abs(np.asarray(ref.depth) - np.asarray(pal.depth))
+        assert depth_diff[coll].max() < 1e-4
+
+    def test_non_tile_aligned_shapes(self):
+        scene = sphere_scene(1.0)
+        csdf = compile_scene_csdf(scene)
+        origins, dirs, cone = _rays(w=100, h=37)  # not multiples of (8, 128)
+        ref = sphere_trace(scene.bind(), origins, dirs, cone)
+        pal = sphere_trace_pallas(csdf, origins, dirs, cone, interpret=True)
+        assert pal.outcome.shape == (37, 100)
+        np.testing.assert_array_equal(np.asarray(ref.outcome), np.asarray(pal.outcome))
+
+    @pytest.mark.parametrize("two_phase,tail_cap", [(False, None), (True, None), (True, 1024)])
+    def test_trace_pipeline(self, two_phase, tail_cap):
+        scene = reference_render_scene()
+        csdf = compile_scene_csdf(scene)
+        bb = scene_bounds(scene)
+        origins, dirs, cone = _rays()
+        ref = sphere_trace(scene.bind(), origins, dirs, cone)
+        depth, steps, outcome = trace_pallas(
+            csdf, origins, dirs, cone, bb=bb, two_phase=two_phase,
+            tail_cap=tail_cap, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ref.outcome), np.asarray(outcome))
+        coll = np.asarray(ref.outcome) == COLLISION
+        depth_diff = np.abs(np.asarray(ref.depth) - np.asarray(depth))
+        assert depth_diff[coll].max() < 1e-3
+
+
+class TestPallasRender:
+    @pytest.mark.parametrize("two_phase", [False, True])
+    def test_matches_pure_render(self, two_phase):
+        scene = reference_render_scene()
+        csdf = compile_scene_csdf(scene)
+        bb = scene_bounds(scene)
+        origins, dirs, cone = _rays()
+        ref = np.asarray(render_image(scene.bind(), origins, dirs, cone))
+        img = np.asarray(
+            render_image_pallas(
+                csdf, origins, dirs, cone, bb=bb, two_phase=two_phase, interpret=True
+            )
+        )
+        diff = np.abs(img - ref).max(-1)
+        assert np.mean(diff < 2e-2) == 1.0
+        assert diff.mean() < 1e-4
+
+    def test_bb_skip_safety(self):
+        """BB-skip must never change any pixel vs no-skip."""
+        scene = reference_render_scene()
+        csdf = compile_scene_csdf(scene)
+        bb = scene_bounds(scene)
+        # wide fov so plenty of rays miss the bb
+        cam = look_at((6.0, 3.0, -6.0), fov=np.pi / 2.5)
+        origins, dirs, cone = generate_rays(cam, (256, 64), (1920.0, 1080.0))
+        a = np.asarray(
+            render_image_pallas(csdf, origins, dirs, cone, bb=bb, use_bb_skip=True, interpret=True)
+        )
+        b = np.asarray(
+            render_image_pallas(csdf, origins, dirs, cone, bb=bb, use_bb_skip=False, interpret=True)
+        )
+        np.testing.assert_allclose(a, b, atol=1e-5)
