@@ -16,6 +16,26 @@ mask-and-compact instead of CPU stream compaction, Pallas kernels for the hot
 paths, and `jax.sharding` meshes for multi-chip scaling.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: the kernels here are large while-loop
+# programs that take tens of seconds to compile; caching makes reruns and
+# benchmarks near-instant. Opt out with BSDMG_NO_CACHE=1.
+if not _os.environ.get("BSDMG_NO_CACHE"):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "BSDMG_CACHE_DIR",
+                _os.path.expanduser("~/.cache/bsdmg_jax"),
+            ),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from bsdmg_tpu import config
 from bsdmg_tpu.config import (
     MarchConfig,

@@ -91,6 +91,12 @@ class MeshGenConfig:
     #: Vertex weld quantization (src/cuda/mod.rs:270: round(x * 1e5)).
     weld_quantization: float = 1e5
 
+    #: Normal estimator inside the Newton projection: "grad" (analytic
+    #: jax.grad, ~4x cheaper) or "fd4" (the reference's 12-eval stencil,
+    #: signed_distance.cu:181-202). Both converge to the same |sd| <= tol
+    #: fixpoint; exported vertex normals always use fd4 for parity.
+    projection_normals: str = "grad"
+
     #: If True, place MC vertices at true sign-change interpolation along the
     #: edge. The reference uses fixed midpoints (edge interpolation commented
     #: out at cuda/includes/marching_cubes.cu:14), which is the default here

@@ -76,12 +76,64 @@ def triangles_to_mesh(
     return Mesh(vertices=vertices, normals=vertex_normals, faces=faces)
 
 
+def extract_mesh_chunked(
+    sdf: SdfFn,
+    field: VoxelField,
+    config: MeshGenConfig = MeshGenConfig(),
+    chunk_size: int = 1 << 18,
+) -> Mesh:
+    """Marching cubes over a large field in fixed-size voxel chunks.
+
+    The triangle budget buffers are (N, 5, 3, 3) floats; at the 1024^3
+    adaptive scale N reaches millions of voxels, so extraction runs in
+    ``chunk_size`` slices (one jit cache entry total) and the per-chunk
+    valid triangles accumulate on the host before a single weld.
+    """
+    if field.count == 0:
+        return triangles_to_mesh(
+            TriangleSoup(
+                jnp.zeros((0, 5, 3, 3)), jnp.zeros((0, 5, 3, 3)), jnp.zeros((0, 5), bool)
+            ),
+            config,
+        )
+    positions_acc = []
+    normals_acc = []
+    voxel_size = jnp.float32(field.voxel_size)
+    for start in range(0, field.count, chunk_size):
+        n = min(chunk_size, field.count - start)
+        end = start + chunk_size
+        if end <= field.capacity:
+            chunk = field.lowers[start:end]
+        else:
+            pad = jnp.full((end - field.capacity, 3), 1e6, jnp.float32)
+            chunk = jnp.concatenate([field.lowers[start:], pad], axis=0)
+        soup = _extract(sdf, chunk, voxel_size, jnp.int32(n), config)
+        valid = np.asarray(soup.valid).reshape(-1)
+        if valid.any():
+            positions_acc.append(np.asarray(soup.positions).reshape(-1, 3, 3)[valid])
+            normals_acc.append(np.asarray(soup.normals).reshape(-1, 3, 3)[valid])
+
+    if not positions_acc:
+        return Mesh(
+            vertices=np.zeros((0, 3), np.float32),
+            normals=np.zeros((0, 3), np.float32),
+            faces=np.zeros((0, 3), np.int32),
+        )
+    positions = np.concatenate(positions_acc)
+    normals = np.concatenate(normals_acc)
+    vertices, vertex_normals, faces = weld_vertices(
+        positions, normals, config.weld_quantization
+    )
+    return Mesh(vertices=vertices, normals=vertex_normals, faces=faces)
+
+
 def generate_mesh(
     sdf: SdfFn,
     refine_steps: int = 3,
     config: MeshGenConfig = MeshGenConfig(),
     *,
     on_level: Callable[[VoxelField], None] | None = None,
+    chunk_size: int = 1 << 18,
 ) -> Mesh:
     """Full pipeline, the real version of the reference's intended headless
     sequence (advance -> refine^k -> advance -> save; src/main.rs:20-34 sends
@@ -95,5 +147,7 @@ def generate_mesh(
         field = refine_field(sdf, field, config)
         if on_level is not None:
             on_level(field)
+    if field.count > chunk_size:
+        return extract_mesh_chunked(sdf, field, config, chunk_size)
     soup = field_to_triangles(sdf, field, config)
     return triangles_to_mesh(soup, config)

@@ -134,6 +134,8 @@ def extract_triangles(
         iters=config.newton_iters,
         tolerance=config.newton_tolerance,
         eps=config.normal_epsilon,
+        use_grad_normal=config.projection_normals == "grad",
+        mask=flat_mask,
     )
     projected = jnp.where(flat_mask[:, None], projected, 0.0)
     verts = projected.reshape(verts.shape)

@@ -83,6 +83,7 @@ def closest_surface_point(
     tolerance: float = 1e-5,
     eps: float = 1e-3,
     use_grad_normal: bool = False,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     """Project points onto the zero isosurface: ``g <- g - sd(g) * n(g)``.
 
@@ -93,15 +94,23 @@ def closest_surface_point(
     """
     normal_fn = normal_grad if use_grad_normal else (lambda f, q: normal_fd4(f, q, eps))
 
-    def body(_, carry):
-        g, done = carry
+    def cond(carry):
+        _, done, i = carry
+        return (~jnp.all(done)) & (i < iters)
+
+    def body(carry):
+        g, done, i = carry
         sd = sdf(g)
         n = normal_fn(sdf, g)
         g_next = g - sd[..., None] * n
         newly_done = jnp.abs(sd) <= tolerance
         g = jnp.where(done[..., None], g, g_next)
-        return g, done | newly_done
+        return g, done | newly_done, i + 1
 
-    done0 = jnp.zeros(p.shape[:-1], bool)
-    g, _ = jax.lax.fori_loop(0, iters, body, (p, done0))
+    # masked-off points are treated as already converged (the loop exits as
+    # soon as every *live* point is within tolerance)
+    done0 = (
+        jnp.zeros(p.shape[:-1], bool) if mask is None else ~mask.astype(bool)
+    )
+    g, _, _ = jax.lax.while_loop(cond, body, (p, done0, jnp.int32(0)))
     return g

@@ -1,0 +1,56 @@
+"""Profiling: jax.profiler traces + speed-of-light estimates.
+
+TPU-native replacement for the reference's nvtx/cuProfilerStart/clock64
+instrumentation (SURVEY §5): capture an xplane trace viewable in
+TensorBoard/XProf, and compute an analytic roofline for the render kernel.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/bsdmg_trace"):
+    """Capture a jax.profiler trace around a code region."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclass
+class Roofline:
+    """Analytic speed-of-light estimate for the sphere-trace kernel."""
+
+    rays: int
+    avg_steps: float
+    ops_per_eval: int
+    vpu_flops_per_s: float = 0.9e12  # ~f32 VPU throughput of one v5e core
+
+    @property
+    def total_ops(self) -> float:
+        return self.rays * self.avg_steps * self.ops_per_eval
+
+    @property
+    def seconds(self) -> float:
+        return self.total_ops / self.vpu_flops_per_s
+
+    def efficiency(self, measured_seconds: float) -> float:
+        return self.seconds / measured_seconds
+
+
+def render_roofline(width: int, height: int, avg_steps: float = 15.0,
+                    ops_per_eval: int = 160) -> Roofline:
+    """Speed-of-light for the reference-scene render.
+
+    ``ops_per_eval`` ~160: two axis-aligned 12-edge skeletons with shared
+    clamps (~60 ops each after grouping), sphere + smooth-min + march
+    bookkeeping. ``avg_steps`` from the measured step histogram (p50=14).
+    """
+    return Roofline(width * height, avg_steps, ops_per_eval)
