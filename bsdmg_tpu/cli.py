@@ -48,12 +48,34 @@ def _camera(args):
     )
 
 
+def _render_any(scene, origins, dirs, cone, prefer_pallas: bool | None = None):
+    """Render via the fused Pallas kernel when the scene compiles to
+    component form on a TPU backend; pure JAX otherwise."""
+    import jax
+
+    from bsdmg_tpu.ops.shade import render_image
+
+    if prefer_pallas is None:
+        prefer_pallas = jax.default_backend() == "tpu"
+    if prefer_pallas:
+        from bsdmg_tpu.ops.pallas import compile_scene_csdf
+        from bsdmg_tpu.ops.pallas.csdf import scene_bounds
+        from bsdmg_tpu.ops.pallas.render_kernel import render_image_pallas
+
+        csdf = compile_scene_csdf(scene)
+        if csdf is not None:
+            bb = scene_bounds(scene)
+            return render_image_pallas(csdf, origins, dirs, cone, bb=bb)
+    sdf = scene.bind()
+    return jax.jit(lambda o, d, c: render_image(sdf, o, d, c))(origins, dirs, cone)
+
+
 def cmd_render(args) -> None:
     import jax
 
     from bsdmg_tpu.cam import generate_rays
     from bsdmg_tpu.mesh.export import save_png
-    from bsdmg_tpu.ops.shade import render_image, to_rgba8
+    from bsdmg_tpu.ops.shade import to_rgba8
     from bsdmg_tpu.utils import get_logger
 
     log = get_logger()
@@ -62,11 +84,8 @@ def cmd_render(args) -> None:
     origins, dirs, cone = generate_rays(
         cam, (args.width, args.height), (args.screen_width, args.screen_height)
     )
-    sdf = scene.bind()
     t0 = time.perf_counter()
-    img = jax.block_until_ready(
-        jax.jit(lambda o, d, c: render_image(sdf, o, d, c))(origins, dirs, cone)
-    )
+    img = jax.block_until_ready(_render_any(scene, origins, dirs, cone))
     log.info(
         "rendered %dx%d in %.3fs (incl. compile)",
         args.width,
@@ -152,6 +171,87 @@ def cmd_animate(args) -> None:
         log.info("frame %d/%d -> %s", i + 1, args.frames, path)
 
 
+def cmd_remesh(args) -> None:
+    """Load a mesh asset, bake a grid SDF, re-extract at target resolution."""
+    from bsdmg_tpu.config import MeshGenConfig
+    from bsdmg_tpu.mesh import generate_mesh
+    from bsdmg_tpu.mesh.export import load_obj, save_obj, save_vtk
+    from bsdmg_tpu.models.mesh_sdf import bake_mesh_grid, grid_sdf
+    from bsdmg_tpu.utils import get_logger
+
+    log = get_logger()
+    src = load_obj(args.input)
+    log.info("loaded %s: %d verts, %d tris", args.input, src.vertex_count, src.triangle_count)
+    t0 = time.perf_counter()
+    grid = bake_mesh_grid(src.vertices, src.faces, resolution=args.grid_resolution)
+    log.info("baked %d^3 SDF grid in %.2fs", args.grid_resolution, time.perf_counter() - t0)
+    sdf = grid_sdf(grid)
+
+    bb_size = float(grid.hi[0] - grid.lo[0])
+    cfg = MeshGenConfig(
+        init_factor=args.init_factor, bb_size=bb_size, newton_iters=args.newton_iters
+    )
+    # the grid is centered; shift the field by the grid center
+    import jax.numpy as jnp
+    center = jnp.asarray([(l + h) / 2 for l, h in zip(grid.lo, grid.hi)], jnp.float32)
+    shifted = lambda p: sdf(p + center)
+    mesh = generate_mesh(shifted, refine_steps=args.refine, config=cfg)
+    mesh.vertices = mesh.vertices + np.asarray(center)
+    log.info("remeshed: %d verts, %d tris", mesh.vertex_count, mesh.triangle_count)
+    out = args.output or "remeshed.obj"
+    (save_vtk if out.endswith(".vtk") else save_obj)(mesh, out)
+    log.info("wrote %s", out)
+
+
+def cmd_fit(args) -> None:
+    """Inverse rendering: recover SDF parameters from a target depth map."""
+    import jax
+    import jax.numpy as jnp
+
+    from bsdmg_tpu.cam import generate_rays
+    from bsdmg_tpu.grad import differentiable_hit
+    from bsdmg_tpu.models import reference_object
+    from bsdmg_tpu.ops.trace import COLLISION
+    from bsdmg_tpu.utils import get_logger
+
+    log = get_logger()
+    scene = reference_object()
+    cam = _camera(args)
+    origins, dirs, cone = generate_rays(
+        cam, (args.width, args.height), (args.screen_width, args.screen_height)
+    )
+
+    # synthesize a target from the true params, then perturb and recover
+    t_target, hit_t = differentiable_hit(scene.sdf, scene.params, origins, dirs, cone)
+    t_target = jax.lax.stop_gradient(t_target)
+    params = dict(scene.params)
+    params["sphere_radius"] = params["sphere_radius"] * 1.3
+    params["smooth_k"] = params["smooth_k"] * 0.6
+
+    stable0 = hit_t.outcome == COLLISION
+
+    @jax.jit
+    def loss_fn(p):
+        t, hit = differentiable_hit(scene.sdf, p, origins, dirs, cone)
+        mask = stable0 & (hit.outcome == COLLISION)
+        err = (t - t_target) * mask
+        return jnp.sum(err**2) / jnp.maximum(jnp.sum(mask), 1)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    for i in range(args.steps):
+        loss, g = grad_fn(params)
+        params = jax.tree.map(lambda p, gg: p - args.lr * gg, params, g)
+        if i % 10 == 0 or i == args.steps - 1:
+            log.info(
+                "step %d: loss=%.3e radius=%.4f k=%.4f",
+                i, float(loss), float(params["sphere_radius"]), float(params["smooth_k"]),
+            )
+    log.info(
+        "recovered sphere_radius=%.4f (true 1.0), smooth_k=%.4f (true 0.5)",
+        float(params["sphere_radius"]), float(params["smooth_k"]),
+    )
+
+
 def cmd_bench(args) -> None:
     from bsdmg_tpu.bench import (
         benchmark_marching_cubes,
@@ -211,6 +311,22 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--frames", type=int, default=8)
     a.add_argument("--output", "-o", default=None)
     a.set_defaults(fn=cmd_animate)
+
+    rm = sub.add_parser("remesh", help="mesh asset -> grid SDF -> adaptive re-extraction")
+    rm.add_argument("--input", "-i", required=True, help="source OBJ")
+    rm.add_argument("--grid-resolution", type=int, default=128)
+    rm.add_argument("--init-factor", type=int, default=32)
+    rm.add_argument("--refine", type=int, default=2)
+    rm.add_argument("--newton-iters", type=int, default=8)
+    rm.add_argument("--output", "-o", default=None)
+    rm.set_defaults(fn=cmd_remesh)
+
+    ft = sub.add_parser("fit", help="inverse rendering: recover SDF params from depth")
+    common_camera(ft)
+    ft.add_argument("--steps", type=int, default=60)
+    ft.add_argument("--lr", type=float, default=0.2)
+    ft.set_defaults(fn=cmd_fit)
+    ft.set_defaults(width=64, height=64)
 
     b = sub.add_parser("bench", help="operating-point benchmarks")
     b.add_argument("--which", choices=["all", "render", "refine", "mc"], default="all")
