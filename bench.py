@@ -7,6 +7,13 @@ benchmarks/ dir — see BASELINE.md). Its implied operating point is the render
 target it was built for: a 2560x1440 CUDA render presented at AutoVsync 60 Hz
 on sm_86 (src/renderer/mod.rs:10, src/main.rs:52-53), i.e. 2560*1440*60 =
 221.2 Mrays/s. ``vs_baseline`` is measured rays/s divided by that.
+
+Methodology: per-frame *device* time is measured as the slope between K=8
+and K=1 frames-per-dispatch (each dispatch hard-syncs via a scalar pulled to
+the host). This removes the fixed per-dispatch transport cost, which on this
+tunneled TPU is ~25 ms — 3x the actual per-frame device time — and which a
+naive per-call timer would measure instead of the hardware. See
+bsdmg_tpu/bench.py::_slope_time.
 """
 
 from __future__ import annotations

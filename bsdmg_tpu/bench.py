@@ -26,6 +26,30 @@ def _sync_time(fn, iters: int = 3, warmup: int = 2):
     return best
 
 
+def _slope_time(make_many, k1: int = 1, k2: int = 8, iters: int = 3) -> float:
+    """Per-iteration device time via a two-point slope.
+
+    ``make_many(k)`` must return a host float after executing the workload
+    ``k`` times inside ONE dispatch (e.g. a jitted loop ending in a reduction
+    pulled to the host). Timing ``k2`` vs ``k1`` and taking the slope removes
+    the fixed per-dispatch cost, which on tunneled/remote device transports
+    can be tens of ms — orders of magnitude above the real per-frame device
+    time. Pure device throughput is what the baseline comparison needs.
+    """
+    make_many(k1)
+    make_many(k2)  # warm both shapes
+
+    def best(k):
+        b = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            make_many(k)
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    return (best(k2) - best(k1)) / (k2 - k1)
+
+
 def benchmark_render(
     width: int = 1920,
     height: int = 1080,
@@ -53,6 +77,8 @@ def benchmark_render(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
+    import functools
+
     if use_pallas:
         from bsdmg_tpu.ops.pallas import compile_scene_csdf
         from bsdmg_tpu.ops.pallas.csdf import scene_bounds
@@ -60,21 +86,26 @@ def benchmark_render(
 
         csdf = compile_scene_csdf(scene)
         bb = scene_bounds(scene)
-        render = lambda: render_image_pallas(
-            csdf, origins, dirs, cone, bb=bb, two_phase=False
+        render_i = lambda i: render_image_pallas(
+            csdf, origins + 1e-6 * i, dirs, cone, bb=bb, two_phase=False
         )
     else:
         sdf = scene.bind()
-        jrender = jax.jit(
-            lambda o, d, c: render_image(sdf, o, d, c, use_grad_normal=use_grad_normal)
+        render_i = lambda i: render_image(
+            sdf, origins + 1e-6 * i, dirs, cone, use_grad_normal=use_grad_normal
         )
-        render = lambda: jrender(origins, dirs, cone)
 
-    best = _sync_time(render, iters=iters)
+    # K frames per dispatch (distinct origins so nothing folds away), summed
+    # to a scalar pulled to the host — a hard sync per dispatch.
+    @functools.partial(jax.jit, static_argnames="k")
+    def many(k):
+        return sum(jnp.sum(render_i(i)) for i in range(k))
+
+    per_frame = _slope_time(lambda k: float(many(k)), iters=iters)
     rays = width * height
     return {
-        "rays_per_s": rays / best,
-        "seconds_per_frame": best,
+        "rays_per_s": rays / per_frame,
+        "seconds_per_frame": per_frame,
         "width": width,
         "height": height,
         "pallas": bool(use_pallas),

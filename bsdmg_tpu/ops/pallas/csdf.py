@@ -135,9 +135,32 @@ def capsule_set_sq_csdf(starts: np.ndarray, ends: np.ndarray) -> CSdf:
                 t = jnp.clip(r, 0.0, length)
                 e = r - t
                 axial = e * e
-                for perp in perps:
-                    d2 = axial + sq_off(*perp[0]) + sq_off(*perp[1])
-                    best = d2 if best is None else jnp.minimum(best, d2)
+                # the c0/c1 corner loops are independent, so a group's perp
+                # offsets always form a cross product V1 x V2; min over the
+                # combos factorizes into axial + min(V1) + min(V2), provided
+                # the two slots touch different axes
+                s1 = sorted({p[0] for p in perps})
+                s2 = sorted({p[1] for p in perps})
+                axes1 = {a for a, _ in s1}
+                axes2 = {a for a, _ in s2}
+                if (
+                    not (axes1 & axes2)
+                    and len(s1) * len(s2) == len(set(perps))
+                    and set(perps) == {(a, b) for a in s1 for b in s2}
+                ):
+                    m1 = sq_off(*s1[0])
+                    for p in s1[1:]:
+                        m1 = jnp.minimum(m1, sq_off(*p))
+                    m2 = sq_off(*s2[0])
+                    for p in s2[1:]:
+                        m2 = jnp.minimum(m2, sq_off(*p))
+                    d2 = axial + m1 + m2
+                else:
+                    d2 = None
+                    for perp in perps:
+                        c = axial + sq_off(*perp[0]) + sq_off(*perp[1])
+                        d2 = c if d2 is None else jnp.minimum(d2, c)
+                best = d2 if best is None else jnp.minimum(best, d2)
             return best
 
         return f_aligned

@@ -69,7 +69,7 @@ def _slab_enter(ox, oy, oz, dx, dy, dz, lo, hi, margin):
 
 
 def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budget,
-           chunk: int = 4):
+           chunk: int = 4, omega: float = 1.0):
     """March loop on planes. Returns (depth, steps, outcome, active).
 
     ``steps0`` carries prior progress (phase B resumes phase A's counter);
@@ -79,58 +79,100 @@ def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budge
     once per ``chunk`` steps (a ``fori_loop`` inside the ``while``), trading
     at most ``chunk - 1`` wasted masked iterations per tile for ``chunk``-fold
     fewer cross-lane reduces.
+
+    ``omega > 1`` enables over-relaxed sphere tracing (Keinert et al. 2014):
+    steps are scaled by ``omega``; when consecutive safety spheres stop
+    overlapping the ray rewinds to the safe position and relaxation is
+    disabled for that ray, so the first-crossing guarantee is preserved.
+    ``omega == 1`` is the exact reference semantics (ray_marching.cu:14-49).
     """
     eps = config.collision_distance
     step_cap = min(int(budget), config.step_limit)
+    relax = float(omega) > 1.0
     ox, oy, oz = o
     dx, dy, dz = d
 
-    def step_body(_, carry):
-        px, py, pz, depth, steps, outcome, active_i = carry
+    def sample(depth):
+        # positions are derived from depth (2 fma/axis) instead of carried
+        # (select + fma/axis) — fewer ops and 3 fewer loop-carried planes
+        return csdf(ox + depth * dx, oy + depth * dy, oz + depth * dz)
+
+    def finish(advance, depth, steps, outcome):
+        over = advance & (depth > config.depth_limit)
+        outcome = jnp.where(over, DEPTH_LIMIT, outcome)
+        survived = advance & ~over
+        steps = jnp.where(survived, steps + 1, steps)
+        active = survived & (steps < step_cap)
+        return active, steps, outcome
+
+    def step_exact(_, carry):
+        depth, steps, outcome, active_i = carry
         active = active_i > 0
         cd = cone * depth
-        dist = csdf(px, py, pz)
+        dist = sample(depth)
 
         hit = active & (dist <= cd + eps)
         outcome = jnp.where(hit, COLLISION, outcome)
 
         advance = active & ~hit
-        step = dist - cd
-        depth = jnp.where(advance, depth + step, depth)
-        px = jnp.where(advance, px + step * dx, px)
-        py = jnp.where(advance, py + step * dy, py)
-        pz = jnp.where(advance, pz + step * dz, pz)
+        depth = jnp.where(advance, depth + dist - cd, depth)
+        active, steps, outcome = finish(advance, depth, steps, outcome)
+        return (depth, steps, outcome, active.astype(jnp.int32))
 
-        over = advance & (depth > config.depth_limit)
-        outcome = jnp.where(over, DEPTH_LIMIT, outcome)
+    def step_relaxed(_, carry):
+        depth, steps, outcome, active_i, prev_r, step_len, om = carry
+        active = active_i > 0
+        cd = cone * depth
+        dist = sample(depth)
+        r = dist - cd  # safe step (the cone-adjusted sphere radius)
 
-        survived = advance & ~over
-        steps = jnp.where(survived, steps + 1, steps)
-        active = survived & (steps < step_cap)
-        return (px, py, pz, depth, steps, outcome, active.astype(jnp.int32))
+        # consecutive safety spheres must overlap; otherwise rewind to the
+        # safe position and drop to omega=1 for this ray
+        fail = active & (step_len > jnp.abs(prev_r) + jnp.abs(r))
+        depth = jnp.where(fail, depth - step_len + prev_r, depth)
+        om = jnp.where(fail, 1.0, om)
+
+        hit = active & ~fail & (dist <= cd + eps)
+        outcome = jnp.where(hit, COLLISION, outcome)
+
+        advance = active & ~hit
+        new_step = jnp.where(fail, 0.0, om * r)
+        depth = jnp.where(advance, depth + new_step, depth)
+        prev_r = jnp.where(fail, prev_r, r)
+        step_len = jnp.where(advance, new_step, step_len)
+
+        active, steps, outcome = finish(advance, depth, steps, outcome)
+        return (
+            depth, steps, outcome, active.astype(jnp.int32),
+            prev_r, step_len, om,
+        )
 
     def cond(carry):
         return carry[-1] > 0
 
+    step_body = step_relaxed if relax else step_exact
+
     def body(carry):
         state = jax.lax.fori_loop(0, chunk, step_body, carry[0])
-        return (state, jnp.sum(state[-1]))
+        return (state, jnp.sum(state[3]))
 
-    shape = dx.shape
     active0_i = active0.astype(jnp.int32)
     state0 = (
-        ox + depth0 * dx,
-        oy + depth0 * dy,
-        oz + depth0 * dz,
         depth0,
         steps0,
         jnp.where(active0, STEP_LIMIT, DEPTH_LIMIT).astype(jnp.int32),
         active0_i,
     )
+    if relax:
+        state0 = state0 + (
+            jnp.zeros_like(depth0),
+            jnp.zeros_like(depth0),
+            jnp.full_like(depth0, float(omega)),
+        )
     state, _ = jax.lax.while_loop(
         cond, body, (state0, jnp.sum(active0_i))
     )
-    _, _, _, depth, steps, outcome, active_i = state
+    depth, steps, outcome, active_i = state[:4]
     # still-active rays (hit neither surface nor depth limit inside budget)
     unresolved = (active_i > 0) | (
         (outcome == STEP_LIMIT) & (steps >= step_cap) & (steps < config.step_limit)
@@ -185,7 +227,8 @@ def _aces_plane(r, g, b):
 # ---------------------------------------------------------------------------
 
 
-def _trace_kernel(csdf, config: MarchConfig, bb, use_bb_skip: bool, budget: int):
+def _trace_kernel(csdf, config: MarchConfig, bb, use_bb_skip: bool, budget: int,
+                  omega: float = 1.0):
     def kernel(
         ox_ref, oy_ref, oz_ref,
         dx_ref, dy_ref, dz_ref,
@@ -212,7 +255,7 @@ def _trace_kernel(csdf, config: MarchConfig, bb, use_bb_skip: bool, budget: int)
 
         depth, steps, outcome, unresolved = _march(
             csdf, config, (ox, oy, oz), (dx, dy, dz), cone,
-            active0, depth0, steps0, budget,
+            active0, depth0, steps0, budget, omega=omega,
         )
         depth_ref[:] = depth
         steps_ref[:] = steps
@@ -268,16 +311,17 @@ def _tile_spec():
 
 
 @functools.partial(
-    jax.jit, static_argnames=("csdf", "config", "bb", "use_bb_skip", "budget", "interpret")
+    jax.jit,
+    static_argnames=("csdf", "config", "bb", "use_bb_skip", "budget", "omega", "interpret"),
 )
 def _trace_call(csdf, o, d, cone, depth0, steps0, active0, config, bb, use_bb_skip,
-                budget, interpret):
+                budget, interpret, omega=1.0):
     h, w = cone.shape
     spec = _tile_spec()
     f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
     i32 = jax.ShapeDtypeStruct((h, w), jnp.int32)
     return pl.pallas_call(
-        _trace_kernel(csdf, config, bb, use_bb_skip, budget),
+        _trace_kernel(csdf, config, bb, use_bb_skip, budget, omega),
         grid=(h // TILE_S, w // TILE_L),
         in_specs=[spec] * 10,
         out_specs=[spec] * 4,
@@ -366,12 +410,12 @@ def _scatter_back(idx, full, tail):
     jax.jit,
     static_argnames=(
         "csdf", "config", "bb", "use_bb_skip", "two_phase", "phase_a_steps",
-        "tail_cap", "interpret",
+        "tail_cap", "interpret", "omega",
     ),
 )
 def _trace_pipeline(
     csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
-    phase_a_steps, tail_cap, interpret,
+    phase_a_steps, tail_cap, interpret, omega=1.0,
 ):
     hp, wp = cone_p.shape
     zero_f = jnp.zeros((hp, wp), jnp.float32)
@@ -381,7 +425,7 @@ def _trace_pipeline(
     budget = phase_a_steps if two_phase else 10**9
     depth, steps, outcome, active = _trace_call(
         csdf, o_p, d_p, cone_p, zero_f, zero_i, ones_i,
-        config, bb, use_bb_skip, budget, interpret,
+        config, bb, use_bb_skip, budget, interpret, omega,
     )
 
     if not two_phase:
@@ -393,7 +437,7 @@ def _trace_pipeline(
     )
     depth_t, steps_t, outcome_t, _ = _trace_call(
         csdf, o_g, d_g, cone_g, depth_g, steps_g, valid.astype(jnp.int32),
-        config, bb, False, 10**9, interpret,
+        config, bb, False, 10**9, interpret, omega,
     )
     depth, steps, outcome = _scatter_back(
         idx, (depth, steps, outcome), (depth_t, steps_t, outcome_t)
@@ -411,7 +455,7 @@ def _trace_pipeline(
         depth, steps, outcome = args
         d2, s2, oc2, _ = _trace_call(
             csdf, o_p, d_p, cone_p, depth, steps, leftover.astype(jnp.int32),
-            config, bb, False, 10**9, interpret,
+            config, bb, False, 10**9, interpret, omega,
         )
         keep = leftover
         return (
@@ -430,19 +474,19 @@ def _trace_pipeline(
     jax.jit,
     static_argnames=(
         "csdf", "config", "bb", "use_bb_skip", "two_phase", "phase_a_steps",
-        "tail_cap", "interpret", "h", "w",
+        "tail_cap", "interpret", "h", "w", "omega",
     ),
 )
 def _render_pipeline(
     csdf, origins, directions, cone_radius, config, bb, use_bb_skip,
-    two_phase, phase_a_steps, tail_cap, interpret, h, w,
+    two_phase, phase_a_steps, tail_cap, interpret, h, w, omega=1.0,
 ):
     hp = -(-h // TILE_S) * TILE_S
     wp = -(-w // TILE_L) * TILE_L
     o_p, d_p, cone_p = _pad_planes(origins, directions, cone_radius, h, w, hp, wp)
     depth, steps, outcome = _trace_pipeline(
         csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
-        phase_a_steps, tail_cap, interpret,
+        phase_a_steps, tail_cap, interpret, omega,
     )
     r, g, b = _shade_call(csdf, o_p, d_p, depth, outcome, config, interpret)
     return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
@@ -466,6 +510,7 @@ def trace_pallas(
     phase_a_steps: int = 32,
     tail_cap: int | None = None,
     interpret: bool = False,
+    omega: float = 1.0,
 ):
     """Trace an (H, W) ray image. Returns (depth, steps, outcome) planes."""
     h, w = origins.shape[:2]
@@ -476,7 +521,7 @@ def trace_pallas(
         tail_cap = _default_tail_cap(h, w)
     depth, steps, outcome = _trace_pipeline(
         csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
-        phase_a_steps, tail_cap, interpret,
+        phase_a_steps, tail_cap, interpret, omega,
     )
     return depth[:h, :w], steps[:h, :w], outcome[:h, :w]
 
@@ -494,9 +539,11 @@ def render_image_pallas(
     phase_a_steps: int = 32,
     tail_cap: int | None = None,
     interpret: bool = False,
+    omega: float = 1.0,
 ) -> jax.Array:
     """Full fused render (single dispatch, no host syncs).
 
+    ``omega > 1`` turns on safe over-relaxed marching (see :func:`_march`).
     Returns linear RGB ``(H, W, 3)``."""
     h, w = origins.shape[:2]
     if tail_cap is None:
@@ -505,5 +552,5 @@ def render_image_pallas(
         csdf, origins, directions,
         jnp.broadcast_to(jnp.asarray(cone_radius, jnp.float32), (h, w)),
         config, bb, use_bb_skip, two_phase, phase_a_steps, tail_cap,
-        interpret, h, w,
+        interpret, h, w, omega,
     )
