@@ -252,6 +252,35 @@ def cmd_fit(args) -> None:
     )
 
 
+def cmd_session(args) -> None:
+    """Drive the interactive stage machine with a scripted key sequence.
+
+    The reference binds B -> refine and V -> advance (src/input_handling.rs:
+    37-42); ``--keys vbbbvv`` (or ``--commands advance,refine,...``) replays
+    the same sequence headlessly — the working version of the reference's
+    broken HEADLESS mode (src/main.rs:20-34, see SURVEY §3.5).
+    """
+    from bsdmg_tpu.config import MeshGenConfig
+    from bsdmg_tpu.mesh import MeshGenSession
+    from bsdmg_tpu.utils import get_logger
+
+    log = get_logger()
+    scene = _get_scene(args.scene)
+    cfg = MeshGenConfig(init_factor=args.init_factor, bb_size=args.bb_size)
+    session = MeshGenSession(
+        scene.bind(), cfg, output_path=args.output or "generated_mesh.obj"
+    )
+    if args.commands:
+        steps = [c.strip() for c in args.commands.split(",") if c.strip()]
+    else:
+        names = {"b": "refine", "v": "advance"}
+        steps = [names[k] for k in args.keys.lower() if k in names]
+    for step in steps:
+        log.info("session step: %s (stage=%s)", step, session.stage.value)
+        getattr(session, step)()
+    log.info("final stage: %s", session.stage.value)
+
+
 def cmd_bench(args) -> None:
     from bsdmg_tpu.bench import (
         benchmark_marching_cubes,
@@ -327,6 +356,15 @@ def build_parser() -> argparse.ArgumentParser:
     ft.add_argument("--lr", type=float, default=0.2)
     ft.set_defaults(fn=cmd_fit)
     ft.set_defaults(width=64, height=64)
+
+    se = sub.add_parser("session", help="scripted refine/advance stage machine")
+    _add_scene_arg(se)
+    se.add_argument("--keys", default="vbbbvv", help="key script: b=refine, v=advance")
+    se.add_argument("--commands", default=None, help="comma list: refine,advance,...")
+    se.add_argument("--init-factor", type=int, default=32)
+    se.add_argument("--bb-size", type=float, default=5.0)
+    se.add_argument("--output", "-o", default=None)
+    se.set_defaults(fn=cmd_session)
 
     b = sub.add_parser("bench", help="operating-point benchmarks")
     b.add_argument("--which", choices=["all", "render", "refine", "mc"], default="all")

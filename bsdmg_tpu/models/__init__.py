@@ -17,8 +17,24 @@ from bsdmg_tpu.models.scenes import (
     reference_render_scene,
     sphere_scene,
 )
+from bsdmg_tpu.models.motion import (
+    AxisCyclicMotion,
+    RotateAxisMotion,
+    SceneSettings,
+    SphericCyclicMotion,
+    Transform,
+    apply_motion,
+    set_center,
+)
 
 __all__ = [
+    "AxisCyclicMotion",
+    "RotateAxisMotion",
+    "SceneSettings",
+    "SphericCyclicMotion",
+    "Transform",
+    "apply_motion",
+    "set_center",
     "SCENES",
     "Scene",
     "box_scene",

@@ -510,9 +510,12 @@ def trace_pallas(
     phase_a_steps: int = 32,
     tail_cap: int | None = None,
     interpret: bool = False,
-    omega: float = 1.0,
+    omega: float | None = None,
 ):
-    """Trace an (H, W) ray image. Returns (depth, steps, outcome) planes."""
+    """Trace an (H, W) ray image. Returns (depth, steps, outcome) planes.
+
+    ``omega=None`` honors ``config.relaxation``."""
+    omega = config.relaxation if omega is None else float(omega)
     h, w = origins.shape[:2]
     hp = -(-h // TILE_S) * TILE_S
     wp = -(-w // TILE_L) * TILE_L
@@ -539,12 +542,14 @@ def render_image_pallas(
     phase_a_steps: int = 32,
     tail_cap: int | None = None,
     interpret: bool = False,
-    omega: float = 1.0,
+    omega: float | None = None,
 ) -> jax.Array:
     """Full fused render (single dispatch, no host syncs).
 
-    ``omega > 1`` turns on safe over-relaxed marching (see :func:`_march`).
+    ``omega > 1`` turns on safe over-relaxed marching (see :func:`_march`);
+    ``omega=None`` honors ``config.relaxation``.
     Returns linear RGB ``(H, W, 3)``."""
+    omega = config.relaxation if omega is None else float(omega)
     h, w = origins.shape[:2]
     if tail_cap is None:
         tail_cap = _default_tail_cap(h, w)

@@ -127,3 +127,44 @@ class TestPallasRender:
             render_image_pallas(csdf, origins, dirs, cone, bb=bb, use_bb_skip=False, interpret=True)
         )
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestOverRelaxation:
+    def test_relaxed_march_matches_exact(self):
+        """omega > 1 (Keinert safe over-relaxation) must land on the same
+        surface as the classic march within collision tolerance."""
+        scene = reference_render_scene()
+        csdf = compile_scene_csdf(scene)
+        bb = scene_bounds(scene)
+        origins, dirs, cone = _rays(w=128, h=32)
+        d0, s0, o0 = trace_pallas(
+            csdf, origins, dirs, cone, bb=bb, two_phase=False, interpret=True
+        )
+        d1, s1, o1 = trace_pallas(
+            csdf, origins, dirs, cone, bb=bb, two_phase=False, interpret=True,
+            omega=1.5,
+        )
+        assert (np.asarray(o0) == np.asarray(o1)).mean() > 0.995
+        both_hit = (np.asarray(o0) == COLLISION) & (np.asarray(o1) == COLLISION)
+        assert both_hit.any()
+        np.testing.assert_allclose(
+            np.asarray(d1)[both_hit], np.asarray(d0)[both_hit], atol=5e-3
+        )
+
+    def test_config_relaxation_is_honored(self):
+        """MarchConfig.relaxation routes into the kernel when omega is None."""
+        scene = sphere_scene(1.0)
+        csdf = compile_scene_csdf(scene)
+        origins, dirs, cone = _rays(w=128, h=16)
+        cfg = MarchConfig(relaxation=1.4)
+        d, s, o = trace_pallas(
+            csdf, origins, dirs, cone, cfg, two_phase=False, interpret=True
+        )
+        d0, s0, o0 = trace_pallas(
+            csdf, origins, dirs, cone, two_phase=False, interpret=True
+        )
+        hit = (np.asarray(o) == COLLISION) & (np.asarray(o0) == COLLISION)
+        assert hit.any()
+        np.testing.assert_allclose(np.asarray(d)[hit], np.asarray(d0)[hit], atol=5e-3)
+        # the relaxed path actually ran: step sequences differ somewhere
+        assert (np.asarray(s) != np.asarray(s0)).any()
