@@ -112,61 +112,120 @@ def benchmark_render(
     }
 
 
-def benchmark_refine(init_factor: int = 64, levels: int = 2, iters: int = 3):
-    """Mvoxels/s of hierarchical refinement on the reference object."""
+def benchmark_refine(init_factor: int = 64, iters: int = 3):
+    """Mvoxels/s of one refinement level over the reference object.
+
+    Times the on-device refine kernel (8-corner sign test + compaction,
+    bsdmg_tpu/ops/refine.py) with slope timing; the dynamic-capacity
+    host sync of :func:`refine_field` is API convenience, not kernel cost.
+    """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from bsdmg_tpu.config import MeshGenConfig
-    from bsdmg_tpu.mesh import create_voxel_field, refine_field
+    from bsdmg_tpu.mesh import create_voxel_field
+    from bsdmg_tpu.mesh.field import _refine_jit
     from bsdmg_tpu.models import reference_object
+    from bsdmg_tpu.ops.pallas import compile_scene_csdf
 
-    sdf = reference_object().bind()
+    scene = reference_object()
+    sdf = scene.bind()
+    csdf = compile_scene_csdf(scene)
     cfg = MeshGenConfig(init_factor=init_factor)
+    field = create_voxel_field(cfg)
+    lowers, count = field.lowers, jnp.int32(field.count)
+    size = jnp.float32(field.voxel_size)
 
-    def run():
-        field = create_voxel_field(cfg)
-        total = 0
-        for _ in range(levels):
-            total += field.count
-            field = refine_field(sdf, field, cfg)
-        return field, total
+    @functools.partial(jax.jit, static_argnames="k")
+    def many(k):
+        total = jnp.int32(0)
+        for i in range(k):
+            _, n, _ = _refine_jit(sdf, lowers + 1e-7 * i, count, size, csdf)
+            total = total + n
+        return total
 
-    # warmup (compilation per level shape)
-    field, total = run()
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        field, total = run()
-        jax.block_until_ready(field.lowers)
-        best = min(best, time.perf_counter() - t0)
+    per_call = _slope_time(lambda k: int(many(k)), iters=iters)
     return {
-        "voxels_per_s": total / best,
-        "seconds": best,
-        "input_voxels": total,
-        "final_count": field.count,
+        "voxels_per_s": field.count / per_call,
+        "seconds": per_call,
+        "input_voxels": field.count,
     }
 
 
 def benchmark_marching_cubes(init_factor: int = 64, iters: int = 3):
     """Mvoxels/s of marching-cubes extraction (incl. Newton projection)."""
+    import functools
+
     import jax
+    import jax.numpy as jnp
 
     from bsdmg_tpu.config import MeshGenConfig
     from bsdmg_tpu.mesh import create_voxel_field, refine_field
-    from bsdmg_tpu.mesh.pipeline import field_to_triangles
+    from bsdmg_tpu.mesh.pipeline import _extract
     from bsdmg_tpu.models import reference_object
+    from bsdmg_tpu.ops.pallas import compile_scene_csdf
 
-    sdf = reference_object().bind()
+    scene = reference_object()
+    sdf = scene.bind()
+    csdf = compile_scene_csdf(scene)
     cfg = MeshGenConfig(init_factor=init_factor)
-    field = refine_field(sdf, create_voxel_field(cfg), cfg)
+    field = refine_field(sdf, create_voxel_field(cfg), cfg, csdf=csdf)
+    voxel_size = jnp.float32(field.voxel_size)
+    count = jnp.int32(field.count)
 
-    def run():
-        return field_to_triangles(sdf, field, cfg)
+    @functools.partial(jax.jit, static_argnames="k")
+    def many(k):
+        acc = jnp.float32(0)
+        for i in range(k):
+            soup = _extract(sdf, field.lowers + 1e-7 * i, voxel_size, count, cfg, csdf)
+            acc = acc + jnp.sum(soup.valid)
+        return acc
 
-    best = _sync_time(run, iters=iters)
+    per_call = _slope_time(lambda k: float(many(k)), iters=iters)
     return {
-        "voxels_per_s": field.count / best,
-        "seconds": best,
+        "voxels_per_s": field.count / per_call,
+        "seconds": per_call,
         "voxel_count": field.count,
+    }
+
+
+def benchmark_render_grad(width: int = 512, height: int = 512, iters: int = 3):
+    """Backward-pass rays/s: gradient of an L2 image loss w.r.t. SDF params
+    (the BASELINE "forward + backward kernels" operating point)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bsdmg_tpu.cam import generate_rays, look_at
+    from bsdmg_tpu.grad import render_image_diff
+    from bsdmg_tpu.models import reference_render_scene
+
+    scene = reference_render_scene()
+    cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+    origins, dirs, cone = generate_rays(cam, (width, height), (1920.0, 1080.0))
+    target = jnp.zeros((height, width, 3), jnp.float32)
+
+    def loss(p, i):
+        img = render_image_diff(scene.sdf, p, origins + 1e-7 * i, dirs, cone)
+        return jnp.mean((img - target) ** 2)
+
+    grad_fn = jax.grad(loss)
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def many(k):
+        acc = jnp.float32(0)
+        for i in range(k):
+            g = grad_fn(scene.params, i)
+            acc = acc + sum(jnp.sum(jnp.abs(v)) for v in jax.tree.leaves(g))
+        return acc
+
+    per_call = _slope_time(lambda k: float(many(k)), k2=4, iters=iters)
+    return {
+        "rays_per_s": width * height / per_call,
+        "seconds_per_frame": per_call,
+        "width": width,
+        "height": height,
     }

@@ -126,9 +126,12 @@ def cmd_mesh(args) -> None:
         if args.checkpoint:
             save_field(field, f"{args.checkpoint}.L{field.level}.npz")
 
+    from bsdmg_tpu.ops.pallas import compile_scene_csdf
+
     t0 = time.perf_counter()
     mesh = generate_mesh(
-        scene.bind(), refine_steps=args.refine, config=cfg, on_level=on_level
+        scene.bind(), refine_steps=args.refine, config=cfg, on_level=on_level,
+        csdf=compile_scene_csdf(scene),
     )
     log.info(
         "mesh: %d vertices, %d triangles in %.3fs",
@@ -267,8 +270,11 @@ def cmd_session(args) -> None:
     log = get_logger()
     scene = _get_scene(args.scene)
     cfg = MeshGenConfig(init_factor=args.init_factor, bb_size=args.bb_size)
+    from bsdmg_tpu.ops.pallas import compile_scene_csdf
+
     session = MeshGenSession(
-        scene.bind(), cfg, output_path=args.output or "generated_mesh.obj"
+        scene.bind(), cfg, output_path=args.output or "generated_mesh.obj",
+        csdf=compile_scene_csdf(scene),
     )
     if args.commands:
         steps = [c.strip() for c in args.commands.split(",") if c.strip()]

@@ -60,7 +60,10 @@ def _round_capacity(n: int, granule: int = 2048) -> int:
 
 
 def refine_field(
-    sdf: SdfFn, field: VoxelField, config: MeshGenConfig = MeshGenConfig()
+    sdf: SdfFn,
+    field: VoxelField,
+    config: MeshGenConfig = MeshGenConfig(),
+    csdf=None,
 ) -> VoxelField:
     """One refinement level: split surface-crossing voxels into 8 children.
 
@@ -79,11 +82,18 @@ def refine_field(
     lowers = _pad_to(field.lowers, in_cap)
 
     out, new_count, new_size = _refine_jit(
-        sdf, lowers, jnp.int32(field.count), jnp.float32(field.voxel_size)
+        sdf, lowers, jnp.int32(field.count), jnp.float32(field.voxel_size), csdf
     )
+    # shrink the 8x-inflated output to a rounded capacity: downstream passes
+    # (marching cubes, further refines) must not pay for dead padding rows —
+    # surviving voxels are O(surface area), typically a few % of 8N
+    n = int(new_count)
+    cap = _round_capacity(n)
+    if cap < out.shape[0]:
+        out = out[:cap]
     return VoxelField(
         lowers=out,
-        count=int(new_count),
+        count=n,
         voxel_size=float(new_size),
         level=field.level + 1,
     )
@@ -99,6 +109,6 @@ def _pad_to(arr: jax.Array, capacity: int) -> jax.Array:
     return jnp.concatenate([arr, pad], axis=0)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _refine_jit(sdf: SdfFn, lowers, count, voxel_size):
-    return refine_step(sdf, lowers, count, voxel_size)
+@partial(jax.jit, static_argnums=(0, 4))
+def _refine_jit(sdf: SdfFn, lowers, count, voxel_size, csdf=None):
+    return refine_step(sdf, lowers, count, voxel_size, csdf=csdf)

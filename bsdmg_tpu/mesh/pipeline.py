@@ -41,18 +41,22 @@ class Mesh:
         return int(self.faces.shape[0])
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def _extract(sdf: SdfFn, lowers, voxel_size, count, config: MeshGenConfig):
-    return extract_triangles(sdf, lowers, voxel_size, count, config)
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _extract(sdf: SdfFn, lowers, voxel_size, count, config: MeshGenConfig, csdf=None):
+    return extract_triangles(sdf, lowers, voxel_size, count, config, csdf=csdf)
 
 
 def field_to_triangles(
-    sdf: SdfFn, field: VoxelField, config: MeshGenConfig = MeshGenConfig()
+    sdf: SdfFn,
+    field: VoxelField,
+    config: MeshGenConfig = MeshGenConfig(),
+    csdf=None,
 ) -> TriangleSoup:
     """Marching cubes over a voxel field (cf. src/cuda/mod.rs:204-261)."""
     lowers = field.lowers
     return _extract(
-        sdf, lowers, jnp.float32(field.voxel_size), jnp.int32(field.count), config
+        sdf, lowers, jnp.float32(field.voxel_size), jnp.int32(field.count), config,
+        csdf,
     )
 
 
@@ -81,6 +85,7 @@ def extract_mesh_chunked(
     field: VoxelField,
     config: MeshGenConfig = MeshGenConfig(),
     chunk_size: int = 1 << 18,
+    csdf=None,
 ) -> Mesh:
     """Marching cubes over a large field in fixed-size voxel chunks.
 
@@ -107,7 +112,7 @@ def extract_mesh_chunked(
         else:
             pad = jnp.full((end - field.capacity, 3), 1e6, jnp.float32)
             chunk = jnp.concatenate([field.lowers[start:], pad], axis=0)
-        soup = _extract(sdf, chunk, voxel_size, jnp.int32(n), config)
+        soup = _extract(sdf, chunk, voxel_size, jnp.int32(n), config, csdf)
         valid = np.asarray(soup.valid).reshape(-1)
         if valid.any():
             positions_acc.append(np.asarray(soup.positions).reshape(-1, 3, 3)[valid])
@@ -134,6 +139,7 @@ def generate_mesh(
     *,
     on_level: Callable[[VoxelField], None] | None = None,
     chunk_size: int = 1 << 18,
+    csdf=None,
 ) -> Mesh:
     """Full pipeline, the real version of the reference's intended headless
     sequence (advance -> refine^k -> advance -> save; src/main.rs:20-34 sends
@@ -144,10 +150,10 @@ def generate_mesh(
     if on_level is not None:
         on_level(field)
     for _ in range(refine_steps):
-        field = refine_field(sdf, field, config)
+        field = refine_field(sdf, field, config, csdf=csdf)
         if on_level is not None:
             on_level(field)
     if field.count > chunk_size:
-        return extract_mesh_chunked(sdf, field, config, chunk_size)
-    soup = field_to_triangles(sdf, field, config)
+        return extract_mesh_chunked(sdf, field, config, chunk_size, csdf=csdf)
+    soup = field_to_triangles(sdf, field, config, csdf=csdf)
     return triangles_to_mesh(soup, config)

@@ -58,8 +58,10 @@ class MeshGenSession:
         *,
         output_path: str = "generated_mesh.obj",
         show_preview: bool = True,
+        csdf=None,
     ):
         self.sdf = sdf
+        self.csdf = csdf
         self.config = config
         self.output_path = output_path  # src/renderer/mod.rs:11
         self.show_preview = show_preview  # RenderSettings, src/renderer/mod.rs:21-27
@@ -71,7 +73,9 @@ class MeshGenSession:
 
     def _update_preview(self) -> None:
         if self.show_preview and self.field is not None:
-            self.preview = extract_mesh_chunked(self.sdf, self.field, self.config)
+            self.preview = extract_mesh_chunked(
+                self.sdf, self.field, self.config, csdf=self.csdf
+            )
 
     def refine(self) -> None:
         """One refinement pass; no-op with a warning outside VOXEL_FIELD
@@ -82,7 +86,7 @@ class MeshGenSession:
             )
             return
         assert self.field is not None
-        self.field = refine_field(self.sdf, self.field, self.config)
+        self.field = refine_field(self.sdf, self.field, self.config, csdf=self.csdf)
         self._log.info(
             "refined field: %d voxels at size %.5f", self.field.count, self.field.voxel_size
         )
@@ -101,7 +105,9 @@ class MeshGenSession:
             self._update_preview()
         elif self.stage is Stage.VOXEL_FIELD:
             assert self.field is not None
-            self.mesh = extract_mesh_chunked(self.sdf, self.field, self.config)
+            self.mesh = extract_mesh_chunked(
+                self.sdf, self.field, self.config, csdf=self.csdf
+            )
             self.stage = Stage.MESH
             self._log.info(
                 "extracted mesh: %d vertices, %d triangles",

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bsdmg_tpu.ops.compact import compact
+from bsdmg_tpu.sdf.normals import as_component
 
 SdfFn = Callable[[jax.Array], jax.Array]
 
@@ -62,18 +63,27 @@ def child_lowers(lowers: jax.Array, voxel_size) -> jax.Array:
 
 
 def refine_masks(
-    sdf: SdfFn, lowers: jax.Array, voxel_size, valid: jax.Array
+    sdf: SdfFn, lowers: jax.Array, voxel_size, valid: jax.Array,
+    csdf=None,
 ) -> jax.Array:
     """Border mask per child, shape ``(N, 8)``.
 
     A child is a border voxel iff its 8 corner occupancies disagree
     (compute_mesh_generation.cu:36-49). Corner signs come from the shared
-    3x3x3 parent lattice (27 evals/parent).
+    3x3x3 parent lattice (27 evals/parent). SDF evaluation runs in
+    component (SoA) form — flat coordinate planes, full lane occupancy —
+    through ``csdf`` when the scene provides one (~30x faster than the
+    (N, 27, 3) AoS layout on TPU).
     """
+    if csdf is None:
+        csdf = as_component(sdf)
     child_size = jnp.asarray(voxel_size, jnp.float32) / 2.0
     lattice = jnp.asarray(_LATTICE, jnp.float32) * child_size  # (27, 3)
-    points = lowers[:, None, :] + lattice[None, :, :]  # (N, 27, 3)
-    inside = sdf(points) <= 0.0  # (N, 27)
+    n = lowers.shape[0]
+    px = (lowers[:, 0:1] + lattice[None, :, 0]).reshape(-1)  # (N*27,)
+    py = (lowers[:, 1:2] + lattice[None, :, 1]).reshape(-1)
+    pz = (lowers[:, 2:3] + lattice[None, :, 2]).reshape(-1)
+    inside = (csdf(px, py, pz) <= 0.0).reshape(n, 27)  # (N, 27)
 
     corner_idx = jnp.asarray(_CHILD_CORNER_IDX)  # (8, 8)
     child_corners = inside[:, corner_idx]  # (N, 8 children, 8 corners)
@@ -87,6 +97,7 @@ def refine_step(
     count: jax.Array,
     voxel_size,
     capacity: int | None = None,
+    csdf=None,
 ):
     """One refinement level on a padded voxel buffer.
 
@@ -107,7 +118,7 @@ def refine_step(
     # keep padded rows far outside so their SDF is huge and they never border
     safe_lowers = jnp.where(valid[:, None], lowers, 1e6)
 
-    mask = refine_masks(sdf, safe_lowers, voxel_size, valid)  # (N, 8)
+    mask = refine_masks(sdf, safe_lowers, voxel_size, valid, csdf=csdf)  # (N, 8)
     children = child_lowers(safe_lowers, voxel_size)  # (N, 8, 3)
 
     flat_children = children.reshape(-1, 3)

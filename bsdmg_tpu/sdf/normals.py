@@ -114,3 +114,99 @@ def closest_surface_point(
     )
     g, _, _ = jax.lax.while_loop(cond, body, (p, done0, jnp.int32(0)))
     return g
+
+
+# ---------------------------------------------------------------------------
+# Component-form (SoA) variants
+#
+# TPU lanes are wasted by a trailing length-3 vector axis: an (N, 3) pointwise
+# SDF runs at 3/128 lane occupancy. These variants take and return coordinate
+# *planes* (x, y, z of any equal shape) and evaluate a component SDF
+# ``csdf(x, y, z) -> d`` — measured ~30x faster on v5e for the same math.
+# Wrap an (N, 3) SDF with :func:`as_component` when no native csdf exists.
+# ---------------------------------------------------------------------------
+
+
+def as_component(sdf: SdfFn):
+    """Adapt a points-API SDF to the component signature (no speedup — the
+    stack re-creates the AoS layout — but lets one code path serve both)."""
+
+    def csdf(x, y, z):
+        return sdf(jnp.stack([x, y, z], axis=-1))
+
+    return csdf
+
+
+def normal_fd4_c(csdf, x, y, z, eps: float = 1e-3):
+    """4th-order FD unit normal on planes; returns ``(nx, ny, nz)``.
+
+    Same stencil as :func:`normal_fd4` (signed_distance.cu:181-202)."""
+
+    def deriv(fp2, fp1, fm1, fm2):
+        return -fp2 + 8.0 * fp1 - 8.0 * fm1 + fm2
+
+    gx = deriv(
+        csdf(x + 2 * eps, y, z), csdf(x + eps, y, z),
+        csdf(x - eps, y, z), csdf(x - 2 * eps, y, z),
+    )
+    gy = deriv(
+        csdf(x, y + 2 * eps, z), csdf(x, y + eps, z),
+        csdf(x, y - eps, z), csdf(x, y - 2 * eps, z),
+    )
+    gz = deriv(
+        csdf(x, y, z + 2 * eps), csdf(x, y, z + eps),
+        csdf(x, y, z - eps), csdf(x, y, z - 2 * eps),
+    )
+    inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, _SAFE_EPS))
+    return gx * inv, gy * inv, gz * inv
+
+
+def closest_surface_point_c(
+    csdf,
+    x: jax.Array,
+    y: jax.Array,
+    z: jax.Array,
+    *,
+    iters: int = 24,
+    tolerance: float = 1e-5,
+    eps: float = 1e-3,
+    mask: jax.Array | None = None,
+):
+    """Newton projection on coordinate planes (signed_distance.cu:227-240).
+
+    Returns ``(x, y, z)`` projected onto the isosurface. Early-exits when all
+    live points are within ``tolerance``.
+    """
+
+    def cond(carry):
+        _, _, _, done, i = carry
+        return (~jnp.all(done)) & (i < iters)
+
+    def body(carry):
+        gx, gy, gz, done, i = carry
+        sd = csdf(gx, gy, gz)
+        nx, ny, nz = normal_fd4_c(csdf, gx, gy, gz, eps)
+        keep = done
+        gx = jnp.where(keep, gx, gx - sd * nx)
+        gy = jnp.where(keep, gy, gy - sd * ny)
+        gz = jnp.where(keep, gz, gz - sd * nz)
+        return gx, gy, gz, done | (jnp.abs(sd) <= tolerance), i + 1
+
+    done0 = jnp.zeros(x.shape, bool) if mask is None else ~mask.astype(bool)
+    gx, gy, gz, _, _ = jax.lax.while_loop(
+        cond, body, (x, y, z, done0, jnp.int32(0))
+    )
+    return gx, gy, gz
+
+
+def normal_jvp_c(csdf, x, y, z):
+    """Analytic unit normal on planes via three forward-mode JVPs (~6
+    eval-equivalents vs fd4's 12). The component-form counterpart of
+    :func:`normal_grad`."""
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    _, gx = jax.jvp(csdf, (x, y, z), (one, zero, zero))
+    _, gy = jax.jvp(csdf, (x, y, z), (zero, one, zero))
+    _, gz = jax.jvp(csdf, (x, y, z), (zero, zero, one))
+    inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, _SAFE_EPS))
+    return gx * inv, gy * inv, gz * inv

@@ -234,3 +234,45 @@ class TestWeld:
         verts, _, faces = weld_vertices(pos, nrm)
         assert verts.shape == (3, 3)
         np.testing.assert_array_equal(faces[0], faces[1])
+
+
+class TestComponentFormParity:
+    """The SoA (csdf) fast path must produce identical results to the
+    points-API path for built-in scenes."""
+
+    def test_refine_csdf_matches_default(self):
+        from bsdmg_tpu.config import MeshGenConfig
+        from bsdmg_tpu.mesh import create_voxel_field, refine_field
+        from bsdmg_tpu.models import reference_object
+        from bsdmg_tpu.ops.pallas import compile_scene_csdf
+
+        scene = reference_object()
+        cfg = MeshGenConfig(init_factor=16)
+        f0 = create_voxel_field(cfg)
+        a = refine_field(scene.bind(), f0, cfg)
+        b = refine_field(scene.bind(), f0, cfg, csdf=compile_scene_csdf(scene))
+        assert a.count == b.count
+        np.testing.assert_allclose(
+            np.asarray(a.lowers[: a.count]), np.asarray(b.lowers[: b.count]), atol=1e-6
+        )
+
+    def test_extract_csdf_matches_default(self):
+        from bsdmg_tpu.config import MeshGenConfig
+        from bsdmg_tpu.mesh import create_voxel_field, refine_field
+        from bsdmg_tpu.mesh.pipeline import field_to_triangles
+        from bsdmg_tpu.models import reference_object
+        from bsdmg_tpu.ops.pallas import compile_scene_csdf
+
+        scene = reference_object()
+        csdf = compile_scene_csdf(scene)
+        cfg = MeshGenConfig(init_factor=16)
+        field = refine_field(scene.bind(), create_voxel_field(cfg), cfg, csdf=csdf)
+        a = field_to_triangles(scene.bind(), field, cfg)
+        b = field_to_triangles(scene.bind(), field, cfg, csdf=csdf)
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        np.testing.assert_allclose(
+            np.asarray(a.positions), np.asarray(b.positions), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.normals), np.asarray(b.normals), atol=2e-4
+        )
