@@ -209,7 +209,9 @@ def benchmark_render_grad(width: int = 512, height: int = 512, iters: int = 3):
     target = jnp.zeros((height, width, 3), jnp.float32)
 
     def loss(p, i):
-        img = render_image_diff(scene.sdf, p, origins + 1e-7 * i, dirs, cone)
+        img = render_image_diff(
+            scene.sdf, p, origins + 1e-7 * i, dirs, cone, csdf=scene.csdf
+        )
         return jnp.mean((img - target) ** 2)
 
     grad_fn = jax.grad(loss)

@@ -103,14 +103,81 @@ def render_image_diff(
     directions: jax.Array,
     cone_radius: jax.Array,
     config: MarchConfig = MarchConfig(),
+    csdf=None,
 ) -> jax.Array:
     """Differentiable render: linear RGB ``(..., 3)`` with gradients flowing
-    to ``params`` through hit depth and shading normals."""
+    to ``params`` through hit depth and shading normals.
+
+    ``csdf`` — the scene's component-form twin ``f(params, x, y, z)``
+    (``Scene.csdf``) — switches to the SoA path: coordinate planes instead
+    of (..., 3) points, full TPU lane occupancy, same math (~10-20x faster).
+    """
+    if csdf is not None:
+        return _render_image_diff_c(
+            csdf, params, origins, directions, cone_radius, config
+        )
     t_diff, hit = differentiable_hit(
         scene, params, origins, directions, cone_radius, config
     )
     positions = origins + t_diff[..., None] * directions
     return _shade_diff(scene, params, positions, hit.outcome)
+
+
+def _render_image_diff_c(
+    csdf,
+    params: Any,
+    origins: jax.Array,
+    directions: jax.Array,
+    cone_radius: jax.Array,
+    config: MarchConfig = MarchConfig(),
+) -> jax.Array:
+    """Component-form differentiable render (same semantics as the points
+    path; gradients via the implicit function theorem at the hit)."""
+    from bsdmg_tpu.ops.pallas.render_kernel import _aces_plane, _march
+    from bsdmg_tpu.sdf.normals import normal_jvp_c
+
+    batch = origins.shape[:-1]
+    cone = jnp.broadcast_to(jnp.asarray(cone_radius, jnp.float32), batch)
+    ox, oy, oz = origins[..., 0], origins[..., 1], origins[..., 2]
+    dx, dy, dz = directions[..., 0], directions[..., 1], directions[..., 2]
+
+    stopped = jax.tree.map(jax.lax.stop_gradient, params)
+    f0 = lambda x, y, z: csdf(stopped, x, y, z)
+
+    depth, steps, outcome, _ = _march(
+        f0, config, (ox, oy, oz), (dx, dy, dz), cone,
+        jnp.ones(batch, bool), jnp.zeros(batch, jnp.float32),
+        jnp.zeros(batch, jnp.int32), config.step_limit,
+    )
+    t0 = jax.lax.stop_gradient(depth)
+    px, py, pz = ox + t0 * dx, oy + t0 * dy, oz + t0 * dz
+
+    # IFT denominator: df/dt along the ray at the hit, params stopped
+    _, dfdt = jax.jvp(f0, (px, py, pz), (dx, dy, dz))
+    denom = dfdt - cone
+    denom = jnp.where(jnp.abs(denom) < 1e-6, -1e-6, denom)
+    denom = jax.lax.stop_gradient(denom)
+
+    residual = csdf(params, px, py, pz) - cone * t0 - config.collision_distance
+    t_diff = t0 - residual / denom
+    collided = outcome == COLLISION
+    t_diff = jnp.where(collided, t_diff, t0)
+
+    qx, qy, qz = ox + t_diff * dx, oy + t_diff * dy, oz + t_diff * dz
+    f_live = lambda x, y, z: csdf(params, x, y, z)
+    nx, ny, nz = normal_jvp_c(f_live, qx, qy, qz)
+
+    light = jnp.asarray(LIGHT_DIR, jnp.float32)
+    light = light / jnp.linalg.norm(light)
+    t = (nx * light[0] + ny * light[1] + nz * light[2] + 1.0) / 2.0
+    low = jnp.asarray(COLOR_LOW, jnp.float32)
+    high = jnp.asarray(COLOR_HIGH, jnp.float32)
+    white = (outcome == STEP_LIMIT).astype(jnp.float32)
+    r = jnp.where(collided, low[0] + t * (high[0] - low[0]), white)
+    g = jnp.where(collided, low[1] + t * (high[1] - low[1]), white)
+    b = jnp.where(collided, low[2] + t * (high[2] - low[2]), white)
+    r, g, b = _aces_plane(r, g, b)
+    return jnp.stack([r, g, b], axis=-1)
 
 
 def render_loss_and_grad(
@@ -121,12 +188,15 @@ def render_loss_and_grad(
     directions: jax.Array,
     cone_radius: jax.Array,
     config: MarchConfig = MarchConfig(),
+    csdf=None,
 ):
     """L2 image loss against ``target`` and its gradient w.r.t. ``params`` —
     the inverse-rendering training step."""
 
     def loss_fn(p):
-        img = render_image_diff(scene, p, origins, directions, cone_radius, config)
+        img = render_image_diff(
+            scene, p, origins, directions, cone_radius, config, csdf=csdf
+        )
         return jnp.mean((img - target) ** 2)
 
     return jax.value_and_grad(loss_fn)(params)

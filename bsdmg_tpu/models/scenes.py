@@ -21,15 +21,24 @@ from bsdmg_tpu.sdf import primitives as sdf
 
 Params = Any
 SceneFn = Callable[[Params, jax.Array], jax.Array]
+SceneCFn = Callable[..., jax.Array]  # (params, x, y, z) -> d
 
 
 @dataclasses.dataclass(frozen=True)
 class Scene:
-    """A differentiable SDF scene: ``sdf(params, p)`` plus default params."""
+    """A differentiable SDF scene: ``sdf(params, p)`` plus default params.
+
+    ``csdf``, when present, is the component-form twin ``f(params, x, y, z)``
+    operating on coordinate planes — differentiable w.r.t. ``params`` and
+    lane-efficient on TPU (see bsdmg_tpu/sdf/primitives.py SoA section).
+    Distinct from ``ops.pallas.compile_scene_csdf``, which bakes params as
+    compile-time constants for the non-differentiable render kernel.
+    """
 
     name: str
     sdf: SceneFn
     params: Params
+    csdf: SceneCFn | None = None
 
     def bind(self, params: Params | None = None) -> Callable[[jax.Array], jax.Array]:
         """Close over ``params`` (default params if None) for APIs that want
@@ -59,6 +68,20 @@ def default_object_params() -> dict:
     }
 
 
+def _sd_obj_c(params: dict, x, y, z, *, reference_compat: bool = True) -> jax.Array:
+    a1 = sdf.sd_box_skeleton_c(
+        x, y, z,
+        params["skeleton_center"],
+        params["skeleton_size"],
+        params["skeleton_line_width"],
+        reference_compat=reference_compat,
+    )
+    a2 = sdf.sd_sphere_c(
+        x, y, z, params["skeleton_center"] * 0.0, params["sphere_radius"]
+    )
+    return sdf.smooth_min(a1, a2, params["smooth_k"])
+
+
 def _sd_obj(params: dict, p: jax.Array, *, reference_compat: bool = True) -> jax.Array:
     a1 = sdf.sd_box_skeleton(
         p,
@@ -74,7 +97,10 @@ def _sd_obj(params: dict, p: jax.Array, *, reference_compat: bool = True) -> jax
 def reference_object(*, reference_compat: bool = True) -> Scene:
     """The mesh-generation target object ``sd_obj``."""
     fn = lambda params, p: _sd_obj(params, p, reference_compat=reference_compat)
-    return Scene("reference_object", fn, default_object_params())
+    cfn = lambda params, x, y, z: _sd_obj_c(
+        params, x, y, z, reference_compat=reference_compat
+    )
+    return Scene("reference_object", fn, default_object_params(), cfn)
 
 
 def reference_render_scene(
@@ -93,7 +119,18 @@ def reference_render_scene(
         )
         return jnp.minimum(sd, frame)
 
-    return Scene("reference_render_scene", fn, default_object_params())
+    def cfn(params: dict, x, y, z) -> jax.Array:
+        sd = _sd_obj_c(params, x, y, z, reference_compat=reference_compat)
+        frame = sdf.sd_box_skeleton_c(
+            x, y, z,
+            jnp.zeros(3, jnp.float32),
+            jnp.full((3,), bb_size, jnp.float32),
+            0.05,
+            reference_compat=reference_compat,
+        )
+        return jnp.minimum(sd, frame)
+
+    return Scene("reference_render_scene", fn, default_object_params(), cfn)
 
 
 # ---------------------------------------------------------------------------
@@ -103,7 +140,12 @@ def reference_render_scene(
 
 def sphere_scene(radius: float = 1.0) -> Scene:
     params = {"radius": _f32(radius)}
-    return Scene("sphere", lambda q, p: sdf.sd_sphere(p, 0.0, q["radius"]), params)
+    return Scene(
+        "sphere",
+        lambda q, p: sdf.sd_sphere(p, 0.0, q["radius"]),
+        params,
+        lambda q, x, y, z: sdf.sd_sphere_c(x, y, z, 0.0, q["radius"]),
+    )
 
 
 def box_scene(size=(1.0, 1.0, 1.0)) -> Scene:

@@ -133,6 +133,7 @@ def train_step(
     cone: jax.Array,
     mesh: Mesh,
     config: MarchConfig = MarchConfig(),
+    csdf=None,
 ):
     """One inverse-rendering step: sharded differentiable render, L2 loss,
     gradient all-reduce over ICI (XLA-inserted), replicated optimizer update.
@@ -141,10 +142,12 @@ def train_step(
     """
     replicated = NamedSharding(mesh, P())
 
-    @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
-    def _step(scene_fn, opt, p, opt_st, tgt, o, d, c):
+    @partial(jax.jit, static_argnums=(0, 1, 8), donate_argnums=(2, 3))
+    def _step(scene_fn, opt, p, opt_st, tgt, o, d, c, component_fn=None):
         def loss_fn(pp):
-            img = render_image_diff(scene_fn, pp, o, d, c, config)
+            img = render_image_diff(
+                scene_fn, pp, o, d, c, config, csdf=component_fn
+            )
             return jnp.mean((img - tgt) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
@@ -157,5 +160,6 @@ def train_step(
         return p, opt_st, loss
 
     return _step(
-        scene, optimizer, params, opt_state, target, origins, directions, cone
+        scene, optimizer, params, opt_state, target, origins, directions, cone,
+        csdf,
     )

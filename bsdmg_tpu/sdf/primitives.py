@@ -292,3 +292,58 @@ def ray_distance_to_bb(origin: jax.Array, direction: jax.Array, bb_min, bb_max) 
     dist = jnp.where(tmin > 0, tmin, tmax)
     dist = jnp.where(miss, MAX_POSITIVE_F32, dist)
     return jnp.where(inside_aabb(origin, bb_min, bb_max), 0.0, dist)
+
+
+# ---------------------------------------------------------------------------
+# Component-form (SoA) primitives with traced parameters
+#
+# These mirror the point-API primitives above but take coordinate planes
+# (x, y, z) and keep parameters as traced JAX scalars/vectors, so they are
+# differentiable w.r.t. params AND lane-efficient on TPU (a trailing
+# length-3 axis runs at 3/128 lane occupancy; planes run at full occupancy).
+# Used by the differentiable render path (bsdmg_tpu/grad) and any caller
+# that wants gradients through a fast SDF.
+# ---------------------------------------------------------------------------
+
+
+def sd_sphere_c(x, y, z, center, radius):
+    """Component form of :func:`sd_sphere`."""
+    center = jnp.broadcast_to(jnp.asarray(center, jnp.float32), (3,))
+    dx, dy, dz = x - center[0], y - center[1], z - center[2]
+    return jnp.sqrt(dx * dx + dy * dy + dz * dz) - radius
+
+
+def sd_box_skeleton_c(x, y, z, center, size, line_width, *, reference_compat=True):
+    """Component form of :func:`sd_box_skeleton` (signed_distance.cu:93-113).
+
+    Exploits two algebraic identities over the 12 axis-aligned edges:
+    same-radius capsules share one sqrt (min commutes with sqrt), and each
+    4-edge parallel group's perpendicular offsets form a cross product, so
+    the min over the group factorizes into axial + min(V1) + min(V2).
+    ``reference_compat=True`` reproduces the reference's ``bs[(dir+1)%2]``
+    index bug (signed_distance.cu:101).
+    """
+    center = jnp.broadcast_to(jnp.asarray(center, jnp.float32), (3,))
+    size = jnp.broadcast_to(jnp.asarray(size, jnp.float32), (3,))
+    coords = (x, y, z)
+    lo = center - size / 2.0
+
+    best = None
+    for d in range(3):
+        a1, a2 = (d + 1) % 3, (d + 2) % 3
+        r = coords[d] - lo[d]
+        t = jnp.clip(r, 0.0, size[d])
+        e = r - t
+        axial = e * e
+        # perp offsets: {lo, lo + s} on each of the two other axes; the
+        # compat bug indexes the first offset's size with (d+1)%2
+        s1 = size[(d + 1) % 2] if reference_compat else size[a1]
+        o1 = coords[a1] - lo[a1]
+        o1b = o1 - s1
+        o2 = coords[a2] - lo[a2]
+        o2b = o2 - size[a2]
+        m1 = jnp.minimum(o1 * o1, o1b * o1b)
+        m2 = jnp.minimum(o2 * o2, o2b * o2b)
+        d2 = axial + m1 + m2
+        best = d2 if best is None else jnp.minimum(best, d2)
+    return jnp.sqrt(best) - line_width

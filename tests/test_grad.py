@@ -143,3 +143,49 @@ class TestInverseRendering:
             loss, g = jax.value_and_grad(loss_fn)(params)
             params = jax.tree.map(lambda p, gg: p - lr * gg, params, g)
         assert abs(float(params["radius"]) - 1.0) < 0.01, float(params["radius"])
+
+
+class TestComponentDiffRender:
+    """The SoA differentiable render must agree with the points path in both
+    the image and the parameter gradients."""
+
+    def _setup(self, w=96, h=64):
+        from bsdmg_tpu.cam import generate_rays, look_at
+        from bsdmg_tpu.models import reference_render_scene
+
+        scene = reference_render_scene()
+        cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+        o, d, c = generate_rays(cam, (w, h), (1920.0, 1080.0))
+        return scene, o, d, c
+
+    def test_image_matches_points_path(self):
+        from bsdmg_tpu.grad import render_image_diff
+
+        scene, o, d, c = self._setup()
+        a = render_image_diff(scene.sdf, scene.params, o, d, c)
+        b = render_image_diff(scene.sdf, scene.params, o, d, c, csdf=scene.csdf)
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        # identical march semantics; tiny float reassociation differences
+        assert (diff.max(-1) > 1e-3).mean() < 0.005
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.25)
+
+    def test_gradients_match_points_path(self):
+        import jax
+        import jax.numpy as jnp
+
+        from bsdmg_tpu.grad import render_image_diff
+
+        scene, o, d, c = self._setup(48, 32)
+        target = jnp.zeros((32, 48, 3), jnp.float32)
+
+        def loss(p, csdf):
+            img = render_image_diff(scene.sdf, p, o, d, c, csdf=csdf)
+            return jnp.mean((img - target) ** 2)
+
+        ga = jax.grad(lambda p: loss(p, None))(scene.params)
+        gb = jax.grad(lambda p: loss(p, scene.csdf))(scene.params)
+        for k in ga:
+            np.testing.assert_allclose(
+                np.asarray(ga[k]), np.asarray(gb[k]), rtol=0.05, atol=1e-4,
+                err_msg=k,
+            )
