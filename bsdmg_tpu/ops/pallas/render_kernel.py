@@ -470,25 +470,59 @@ def _trace_pipeline(
     return depth, steps, outcome
 
 
+_BLOCK = 32  # spatial block edge; 32*32 == TILE_S*TILE_L
+
+
+def _swizzle(plane: jax.Array) -> jax.Array:
+    """Remap an (Hp, Wp) plane so each (8, 128) register tile holds one
+    32x32 *spatial block* of pixels instead of an 8-row x 128-col strip.
+
+    The TPU analogue of the reference's warp pixel swizzle
+    (render_texture_coord, cuda/modules/common.cu:186-215), and for the same
+    reason: rays in a compact square finish in similar step counts, so the
+    tile-synchronized march wastes fewer masked iterations (measured ~17%
+    lower mean tile-max steps on the reference scene) and fewer tiles touch
+    a collision in the shade pass (36% -> 25%).
+    """
+    hp, wp = plane.shape
+    hb, wb = hp // _BLOCK, wp // _BLOCK
+    t = plane.reshape(hb, _BLOCK, wb, _BLOCK).transpose(0, 2, 1, 3)
+    return t.reshape(hb * wb * TILE_S, TILE_L)
+
+
+def _unswizzle(plane: jax.Array, hp: int, wp: int) -> jax.Array:
+    hb, wb = hp // _BLOCK, wp // _BLOCK
+    t = plane.reshape(hb, wb, _BLOCK, _BLOCK).transpose(0, 2, 1, 3)
+    return t.reshape(hp, wp)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "csdf", "config", "bb", "use_bb_skip", "two_phase", "phase_a_steps",
-        "tail_cap", "interpret", "h", "w", "omega",
+        "tail_cap", "interpret", "h", "w", "omega", "swizzle",
     ),
 )
 def _render_pipeline(
     csdf, origins, directions, cone_radius, config, bb, use_bb_skip,
     two_phase, phase_a_steps, tail_cap, interpret, h, w, omega=1.0,
+    swizzle=True,
 ):
-    hp = -(-h // TILE_S) * TILE_S
-    wp = -(-w // TILE_L) * TILE_L
+    granule = _BLOCK if swizzle else TILE_S
+    hp = -(-h // granule) * granule
+    wp = -(-w // max(granule, TILE_L)) * max(granule, TILE_L)
     o_p, d_p, cone_p = _pad_planes(origins, directions, cone_radius, h, w, hp, wp)
+    if swizzle:
+        o_p = jnp.stack([_swizzle(o_p[..., a]) for a in range(3)], axis=-1)
+        d_p = jnp.stack([_swizzle(d_p[..., a]) for a in range(3)], axis=-1)
+        cone_p = _swizzle(cone_p)
     depth, steps, outcome = _trace_pipeline(
         csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
         phase_a_steps, tail_cap, interpret, omega,
     )
     r, g, b = _shade_call(csdf, o_p, d_p, depth, outcome, config, interpret)
+    if swizzle:
+        r, g, b = (_unswizzle(x, hp, wp) for x in (r, g, b))
     return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
 
 
@@ -543,6 +577,7 @@ def render_image_pallas(
     tail_cap: int | None = None,
     interpret: bool = False,
     omega: float | None = None,
+    swizzle: bool = True,
 ) -> jax.Array:
     """Full fused render (single dispatch, no host syncs).
 
@@ -557,5 +592,5 @@ def render_image_pallas(
         csdf, origins, directions,
         jnp.broadcast_to(jnp.asarray(cone_radius, jnp.float32), (h, w)),
         config, bb, use_bb_skip, two_phase, phase_a_steps, tail_cap,
-        interpret, h, w, omega,
+        interpret, h, w, omega, swizzle,
     )
