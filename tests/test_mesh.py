@@ -276,3 +276,37 @@ class TestComponentFormParity:
         np.testing.assert_allclose(
             np.asarray(a.normals), np.asarray(b.normals), atol=2e-4
         )
+
+
+class TestMeshQuality:
+    def test_extracted_mesh_is_watertight_and_on_surface(self):
+        """Closed-surface extraction: every edge shared by exactly 2 faces
+        and every welded vertex within Newton tolerance of the isosurface."""
+        import jax.numpy as jnp
+
+        from bsdmg_tpu.config import MeshGenConfig
+        from bsdmg_tpu.mesh import create_voxel_field, refine_field
+        from bsdmg_tpu.mesh.pipeline import field_to_triangles, triangles_to_mesh
+        from bsdmg_tpu.models import reference_object
+        from bsdmg_tpu.ops.pallas import compile_scene_csdf
+
+        scene = reference_object()
+        csdf = compile_scene_csdf(scene)
+        cfg = MeshGenConfig(init_factor=16)
+        field = refine_field(scene.bind(), create_voxel_field(cfg), cfg, csdf=csdf)
+        mesh = triangles_to_mesh(
+            field_to_triangles(scene.bind(), field, cfg, csdf=csdf), cfg
+        )
+        assert mesh.triangle_count > 100
+
+        sd = np.asarray(scene.bind()(jnp.asarray(mesh.vertices)))
+        assert np.abs(sd).max() < 5 * cfg.newton_tolerance
+
+        f = mesh.faces
+        edges = np.sort(
+            np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), axis=1
+        )
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).all(), (
+            f"non-manifold edges: {dict(zip(*np.unique(counts, return_counts=True)))}"
+        )
