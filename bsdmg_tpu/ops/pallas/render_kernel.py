@@ -306,23 +306,28 @@ def _shade_kernel(csdf, config: MarchConfig):
     return kernel
 
 
-def _tile_spec():
-    return pl.BlockSpec((TILE_S, TILE_L), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+def _tile_spec(block_rows: int = TILE_S):
+    return pl.BlockSpec(
+        (block_rows, TILE_L), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("csdf", "config", "bb", "use_bb_skip", "budget", "omega", "interpret"),
+    static_argnames=(
+        "csdf", "config", "bb", "use_bb_skip", "budget", "omega", "interpret",
+        "block_rows",
+    ),
 )
 def _trace_call(csdf, o, d, cone, depth0, steps0, active0, config, bb, use_bb_skip,
-                budget, interpret, omega=1.0):
+                budget, interpret, omega=1.0, block_rows=TILE_S):
     h, w = cone.shape
-    spec = _tile_spec()
+    spec = _tile_spec(block_rows)
     f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
     i32 = jax.ShapeDtypeStruct((h, w), jnp.int32)
     return pl.pallas_call(
         _trace_kernel(csdf, config, bb, use_bb_skip, budget, omega),
-        grid=(h // TILE_S, w // TILE_L),
+        grid=(h // block_rows, w // TILE_L),
         in_specs=[spec] * 10,
         out_specs=[spec] * 4,
         out_shape=[f32, i32, i32, i32],
@@ -334,14 +339,16 @@ def _trace_call(csdf, o, d, cone, depth0, steps0, active0, config, bb, use_bb_sk
     )
 
 
-@functools.partial(jax.jit, static_argnames=("csdf", "config", "interpret"))
-def _shade_call(csdf, o, d, depth, outcome, config, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("csdf", "config", "interpret", "block_rows")
+)
+def _shade_call(csdf, o, d, depth, outcome, config, interpret, block_rows=TILE_S):
     h, w = depth.shape
-    spec = _tile_spec()
+    spec = _tile_spec(block_rows)
     f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
     return pl.pallas_call(
         _shade_kernel(csdf, config),
-        grid=(h // TILE_S, w // TILE_L),
+        grid=(h // block_rows, w // TILE_L),
         in_specs=[spec] * 8,
         out_specs=[spec] * 3,
         out_shape=[f32, f32, f32],
@@ -410,12 +417,12 @@ def _scatter_back(idx, full, tail):
     jax.jit,
     static_argnames=(
         "csdf", "config", "bb", "use_bb_skip", "two_phase", "phase_a_steps",
-        "tail_cap", "interpret", "omega",
+        "tail_cap", "interpret", "omega", "block_rows",
     ),
 )
 def _trace_pipeline(
     csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
-    phase_a_steps, tail_cap, interpret, omega=1.0,
+    phase_a_steps, tail_cap, interpret, omega=1.0, block_rows=TILE_S,
 ):
     hp, wp = cone_p.shape
     zero_f = jnp.zeros((hp, wp), jnp.float32)
@@ -425,7 +432,7 @@ def _trace_pipeline(
     budget = phase_a_steps if two_phase else 10**9
     depth, steps, outcome, active = _trace_call(
         csdf, o_p, d_p, cone_p, zero_f, zero_i, ones_i,
-        config, bb, use_bb_skip, budget, interpret, omega,
+        config, bb, use_bb_skip, budget, interpret, omega, block_rows,
     )
 
     if not two_phase:
@@ -472,6 +479,22 @@ def _trace_pipeline(
 
 _BLOCK = 32  # spatial block edge; 32*32 == TILE_S*TILE_L
 
+# Pallas block height for the swizzled layout: 4 spatial blocks per grid
+# step. One (8, 128) tile is a single vector register per plane, so the
+# march's dependent op chain stalls the VPU pipeline; 4 independent blocks
+# per instruction keep it fed (measured: 5.5 -> 3.2 ms trace at 1080p; 8
+# blocks is slightly worse because the whole Pallas block shares one
+# while_loop and divergence grows with block size).
+_SWIZZLED_BLOCK_ROWS = 4 * TILE_S
+
+
+def _pad_rows(plane: jax.Array, rows: int, fill) -> jax.Array:
+    n = plane.shape[0]
+    if n == rows:
+        return plane
+    pad = jnp.full((rows - n, plane.shape[1]), fill, plane.dtype)
+    return jnp.concatenate([plane, pad], axis=0)
+
 
 def _swizzle(plane: jax.Array) -> jax.Array:
     """Remap an (Hp, Wp) plane so each (8, 128) register tile holds one
@@ -512,17 +535,33 @@ def _render_pipeline(
     hp = -(-h // granule) * granule
     wp = -(-w // max(granule, TILE_L)) * max(granule, TILE_L)
     o_p, d_p, cone_p = _pad_planes(origins, directions, cone_radius, h, w, hp, wp)
+    block_rows = TILE_S
+    m = None
     if swizzle:
-        o_p = jnp.stack([_swizzle(o_p[..., a]) for a in range(3)], axis=-1)
-        d_p = jnp.stack([_swizzle(d_p[..., a]) for a in range(3)], axis=-1)
-        cone_p = _swizzle(cone_p)
+        block_rows = _SWIZZLED_BLOCK_ROWS
+        m = (hp // _BLOCK) * (wp // _BLOCK) * TILE_S  # live swizzled rows
+        mp = -(-m // block_rows) * block_rows
+        fills = (1e5, 1.0, 0.0)  # origin x / direction x / everything else
+        o_p = jnp.stack(
+            [_pad_rows(_swizzle(o_p[..., a]), mp, 1e5) for a in range(3)], axis=-1
+        )
+        d_p = jnp.stack(
+            [
+                _pad_rows(_swizzle(d_p[..., a]), mp, 1.0 if a == 0 else 0.0)
+                for a in range(3)
+            ],
+            axis=-1,
+        )
+        cone_p = _pad_rows(_swizzle(cone_p), mp, 0.0)
     depth, steps, outcome = _trace_pipeline(
         csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
-        phase_a_steps, tail_cap, interpret, omega,
+        phase_a_steps, tail_cap, interpret, omega, block_rows,
     )
-    r, g, b = _shade_call(csdf, o_p, d_p, depth, outcome, config, interpret)
+    r, g, b = _shade_call(
+        csdf, o_p, d_p, depth, outcome, config, interpret, block_rows
+    )
     if swizzle:
-        r, g, b = (_unswizzle(x, hp, wp) for x in (r, g, b))
+        r, g, b = (_unswizzle(x[:m], hp, wp) for x in (r, g, b))
     return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
 
 
