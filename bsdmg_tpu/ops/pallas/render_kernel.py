@@ -69,7 +69,7 @@ def _slab_enter(ox, oy, oz, dx, dy, dz, lo, hi, margin):
 
 
 def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budget,
-           chunk: int = 4, omega: float = 1.0):
+           chunk: int = 8, omega: float = 1.0):
     """March loop on planes. Returns (depth, steps, outcome, active).
 
     ``steps0`` carries prior progress (phase B resumes phase A's counter);
