@@ -161,7 +161,11 @@ def mandelbulb_scene(scale: float = 1.0) -> Scene:
         s = q["scale"] * 0.4
         return sdf.sd_mandelbulb(p / s) * s
 
-    return Scene("mandelbulb", fn, params)
+    def cfn(q, x, y, z):
+        s = q["scale"] * 0.4
+        return sdf.sd_mandelbulb_c(x / s, y / s, z / s) * s
+
+    return Scene("mandelbulb", fn, params, cfn)
 
 
 SCENES: dict[str, Callable[[], Scene]] = {

@@ -270,6 +270,11 @@ def scene_bounds(scene: Scene, params=None) -> tuple | None:
     if scene.name == "box":
         half = np.asarray(p["size"], np.float64) / 2.0 + 1e-3
         return (tuple(map(float, -half)), tuple(map(float, half)))
+    if scene.name == "mandelbulb":
+        # the power-7 bulb lives within radius ~1.2 of the origin (escape
+        # radius 2 scaled by 0.4), scaled by params
+        r = 1.25 * float(p["scale"]) + 1e-3
+        return ((-r, -r, -r), (r, r, r))
     return None
 
 
@@ -285,4 +290,17 @@ def compile_scene_csdf(scene: Scene, params=None) -> CSdf | None:
         return sphere_csdf(0.0, 0.0, 0.0, float(p["radius"]))
     if scene.name == "box":
         return box_csdf(np.zeros(3), np.asarray(p["size"]))
+    if scene.name == "mandelbulb":
+        from bsdmg_tpu.ops.pallas.mathx import acos_c, atan2_c
+        from bsdmg_tpu.sdf.primitives import sd_mandelbulb_c
+
+        s = float(p["scale"]) * 0.4
+
+        def f(x, y, z):
+            # polynomial inverse trig: Mosaic has no acos/atan2 (see mathx)
+            return sd_mandelbulb_c(
+                x / s, y / s, z / s, arccos=acos_c, arctan2=atan2_c
+            ) * s
+
+        return f
     return None

@@ -347,3 +347,56 @@ def sd_box_skeleton_c(x, y, z, center, size, line_width, *, reference_compat=Tru
         d2 = axial + m1 + m2
         best = d2 if best is None else jnp.minimum(best, d2)
     return jnp.sqrt(best) - line_width
+
+
+def sd_mandelbulb_c(x, y, z, time=0.0, *, arccos=None, arctan2=None):
+    """Component form of :func:`sd_mandelbulb` (signed_distance.cu:29-53) —
+    coordinate planes in, distance plane out; full TPU lane occupancy.
+
+    ``arccos``/``arctan2`` are pluggable because Pallas TPU has no native
+    inverse trig — the render-kernel compiler passes the polynomial versions
+    from ``bsdmg_tpu.ops.pallas.mathx``; the default (XLA-native) is exact.
+    """
+    arccos = jnp.arccos if arccos is None else arccos
+    arctan2 = jnp.arctan2 if arctan2 is None else arctan2
+    # keep the exponent a static Python float when time is static: Mosaic
+    # lowers pow-by-constant but not pow with a traced exponent
+    if isinstance(time, (int, float)):
+        power = float(_MANDELBULB_POWER * (1.0 + time * 0.001))
+    else:
+        power = _MANDELBULB_POWER * (1.0 + jnp.asarray(time, jnp.float32) * 0.001)
+
+    def body(_, carry):
+        # the active mask is carried as int32: Mosaic's loop lowering
+        # rejects a recomputed bool plane as a loop carry
+        zx, zy, zz, dr, r, active_i = carry
+        active = active_i > 0
+        r_new = jnp.sqrt(zx * zx + zy * zy + zz * zz)
+        r = jnp.where(active, r_new, r)
+        cont = active & (r_new <= 2.0)
+
+        safe_r = jnp.maximum(r_new, _SAFE_EPS)
+        theta = arccos(jnp.clip(zz / safe_r, -1.0, 1.0)) * power
+        phi = arctan2(zy, zx) * power
+        zr = safe_r**power
+        dr_next = safe_r ** (power - 1.0) * power * dr + 1.0
+
+        s_theta = jnp.sin(theta)
+        zx_n = zr * s_theta * jnp.cos(phi) + x
+        zy_n = zr * jnp.sin(phi) * s_theta + y
+        zz_n = zr * jnp.cos(theta) + z
+        zx = jnp.where(cont, zx_n, zx)
+        zy = jnp.where(cont, zy_n, zy)
+        zz = jnp.where(cont, zz_n, zz)
+        dr = jnp.where(cont, dr_next, dr)
+        return zx, zy, zz, dr, r, cont.astype(jnp.int32)
+
+    init = (
+        x, y, z,
+        jnp.ones_like(x),
+        jnp.zeros_like(x),
+        jnp.ones(x.shape, jnp.int32),
+    )
+    _, _, _, dr, r, _ = jax.lax.fori_loop(0, _MANDELBULB_ITERS, body, init)
+    safe_r = jnp.maximum(r, _SAFE_EPS)
+    return 0.5 * jnp.log(safe_r) * r / dr

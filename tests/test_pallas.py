@@ -168,3 +168,31 @@ class TestOverRelaxation:
         np.testing.assert_allclose(np.asarray(d)[hit], np.asarray(d0)[hit], atol=5e-3)
         # the relaxed path actually ran: step sequences differ somewhere
         assert (np.asarray(s) != np.asarray(s0)).any()
+
+
+def test_mandelbulb_csdf_matches_scene():
+    from bsdmg_tpu.models import mandelbulb_scene
+    from bsdmg_tpu.ops.pallas import compile_scene_csdf
+    from bsdmg_tpu.ops.pallas.csdf import scene_bounds
+
+    scene = mandelbulb_scene()
+    csdf = compile_scene_csdf(scene)
+    assert csdf is not None
+    rng = np.random.RandomState(3)
+    p = rng.uniform(-1.5, 1.5, (8, 128, 3)).astype(np.float32)
+    ours = np.asarray(csdf(jnp.asarray(p[..., 0]), jnp.asarray(p[..., 1]), jnp.asarray(p[..., 2])))
+    ref = np.asarray(scene.bind()(jnp.asarray(p)))
+    # the fractal iteration amplifies float reassociation between the stacked
+    # and component forms near the escape boundary; 5e-4 is float32-equivalent
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+    # param-traced component twin agrees too
+    twin = np.asarray(scene.csdf(scene.params, jnp.asarray(p[..., 0]), jnp.asarray(p[..., 1]), jnp.asarray(p[..., 2])))
+    np.testing.assert_allclose(twin, ref, atol=1e-3)
+    # bounds contain the surface
+    bb = scene_bounds(scene)
+    assert bb is not None
+    sd = ref
+    inside = p[sd <= 0]
+    if len(inside):
+        assert (inside >= np.asarray(bb[0]) - 1e-5).all()
+        assert (inside <= np.asarray(bb[1]) + 1e-5).all()
