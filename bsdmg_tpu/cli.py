@@ -196,9 +196,14 @@ def cmd_remesh(args) -> None:
     )
     # the grid is centered; shift the field by the grid center
     import jax.numpy as jnp
+
+    from bsdmg_tpu.models.mesh_sdf import grid_csdf
+
     center = jnp.asarray([(l + h) / 2 for l, h in zip(grid.lo, grid.hi)], jnp.float32)
     shifted = lambda p: sdf(p + center)
-    mesh = generate_mesh(shifted, refine_steps=args.refine, config=cfg)
+    gcsdf = grid_csdf(grid)
+    shifted_c = lambda x, y, z: gcsdf(x + center[0], y + center[1], z + center[2])
+    mesh = generate_mesh(shifted, refine_steps=args.refine, config=cfg, csdf=shifted_c)
     mesh.vertices = mesh.vertices + np.asarray(center)
     log.info("remeshed: %d verts, %d tris", mesh.vertex_count, mesh.triangle_count)
     out = args.output or "remeshed.obj"

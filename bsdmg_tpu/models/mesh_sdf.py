@@ -231,10 +231,61 @@ def grid_sdf(grid: SdfGrid):
     return sdf
 
 
+def grid_csdf(grid: SdfGrid):
+    """Component-form twin of :func:`grid_sdf`: coordinate planes in,
+    distance plane out (full TPU lane occupancy; the 8 corner samples become
+    flat gathers). Used by the mesh pipeline's SoA path for mesh-asset
+    scenes; not Pallas-compatible (vector gathers from an r^3 table)."""
+    r = grid.resolution
+    flat = grid.values.reshape(-1)
+    lo = np.asarray(grid.lo, np.float32)
+    hi = np.asarray(grid.hi, np.float32)
+    scale = (r - 1) / (hi - lo)
+
+    def csdf(x, y, z):
+        qx = (x - lo[0]) * scale[0]
+        qy = (y - lo[1]) * scale[1]
+        qz = (z - lo[2]) * scale[2]
+        cx = jnp.clip(qx, 0.0, r - 1 - 1e-4)
+        cy = jnp.clip(qy, 0.0, r - 1 - 1e-4)
+        cz = jnp.clip(qz, 0.0, r - 1 - 1e-4)
+        x0 = jnp.floor(cx).astype(jnp.int32)
+        y0 = jnp.floor(cy).astype(jnp.int32)
+        z0 = jnp.floor(cz).astype(jnp.int32)
+        fx, fy, fz = cx - x0, cy - y0, cz - z0
+        x1 = jnp.minimum(x0 + 1, r - 1)
+        y1 = jnp.minimum(y0 + 1, r - 1)
+        z1 = jnp.minimum(z0 + 1, r - 1)
+
+        def at(ix, iy, iz):
+            return flat[(ix * r + iy) * r + iz]
+
+        c00 = at(x0, y0, z0) * (1 - fx) + at(x1, y0, z0) * fx
+        c10 = at(x0, y1, z0) * (1 - fx) + at(x1, y1, z0) * fx
+        c01 = at(x0, y0, z1) * (1 - fx) + at(x1, y0, z1) * fx
+        c11 = at(x0, y1, z1) * (1 - fx) + at(x1, y1, z1) * fx
+        c0 = c00 + (c10 - c00) * fy
+        c1 = c01 + (c11 - c01) * fy
+        interior = c0 + (c1 - c0) * fz
+
+        ox = jnp.maximum(jnp.maximum(lo[0] - x, x - hi[0]), 0.0)
+        oy = jnp.maximum(jnp.maximum(lo[1] - y, y - hi[1]), 0.0)
+        oz = jnp.maximum(jnp.maximum(lo[2] - z, z - hi[2]), 0.0)
+        sq = ox * ox + oy * oy + oz * oz
+        outside = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
+        return interior + outside
+
+    return csdf
+
+
 def mesh_scene(vertices, faces, resolution: int = 128, name: str = "mesh"):
     """Build a Scene from a triangle mesh (bakes the grid immediately)."""
     from bsdmg_tpu.models.scenes import Scene
 
     grid = bake_mesh_grid(vertices, faces, resolution=resolution)
     sdf = grid_sdf(grid)
-    return Scene(name, lambda params, p: sdf(p), {"grid": grid.values}), grid
+    cfn = grid_csdf(grid)
+    return Scene(
+        name, lambda params, p: sdf(p), {"grid": grid.values},
+        lambda params, x, y, z: cfn(x, y, z),
+    ), grid
