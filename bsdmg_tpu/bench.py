@@ -231,3 +231,54 @@ def benchmark_render_grad(width: int = 512, height: int = 512, iters: int = 3):
         "width": width,
         "height": height,
     }
+
+
+def benchmark_scaling(width: int = 1920, height: int = 1080, iters: int = 3):
+    """Multi-device scaling efficiency of the sharded forward render.
+
+    Measures rays/s on the full device mesh vs a single device and reports
+    ``efficiency = (rays_per_s_N / N) / rays_per_s_1`` — the BASELINE
+    scaling-efficiency operating point (target >= 0.8 at N >= 2). With one
+    device it reports N=1 / efficiency 1.0 (nothing to scale).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bsdmg_tpu.cam import generate_rays, look_at
+    from bsdmg_tpu.models import reference_render_scene
+    from bsdmg_tpu.ops.shade import render_image
+    from bsdmg_tpu.parallel import make_mesh, shard_rays
+
+    scene = reference_render_scene()
+    sdf = scene.bind()
+    cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+    origins, dirs, cone = generate_rays(cam, (width, height), (1920.0, 1080.0))
+
+    def measure(devices):
+        mesh = make_mesh(devices)
+        o, d, c, _ = shard_rays(origins, dirs, cone, mesh)
+
+        @functools.partial(jax.jit, static_argnames="k")
+        def many(k):
+            return sum(
+                jnp.sum(render_image(sdf, o + 1e-6 * i, d, c)) for i in range(k)
+            )
+
+        per_frame = _slope_time(lambda k: float(many(k)), k2=4, iters=iters)
+        return width * height / per_frame
+
+    devices = jax.devices()
+    n = len(devices)
+    if n == 1:
+        single = measure(devices[:1])
+        return {"devices": 1, "rays_per_s": single, "efficiency": 1.0}
+    single = measure(devices[:1])
+    full = measure(devices)
+    return {
+        "devices": n,
+        "rays_per_s": full,
+        "rays_per_s_single": single,
+        "efficiency": (full / n) / single,
+    }

@@ -312,6 +312,15 @@ def cmd_bench(args) -> None:
     if args.which in ("all", "mc"):
         r = benchmark_marching_cubes()
         results["marching_cubes"] = {"voxels_per_s": r["voxels_per_s"]}
+    if args.which in ("all", "grad"):
+        from bsdmg_tpu.bench import benchmark_render_grad
+
+        r = benchmark_render_grad()
+        results["render_grad"] = {"rays_per_s": r["rays_per_s"]}
+    if args.which == "scaling":
+        from bsdmg_tpu.bench import benchmark_scaling
+
+        results["scaling"] = benchmark_scaling(args.width, args.height)
     print(json.dumps(results, indent=2))
 
 
@@ -378,7 +387,7 @@ def build_parser() -> argparse.ArgumentParser:
     se.set_defaults(fn=cmd_session)
 
     b = sub.add_parser("bench", help="operating-point benchmarks")
-    b.add_argument("--which", choices=["all", "render", "refine", "mc"], default="all")
+    b.add_argument("--which", choices=["all", "render", "refine", "mc", "grad", "scaling"], default="all")
     b.add_argument("--width", type=int, default=1920)
     b.add_argument("--height", type=int, default=1080)
     b.set_defaults(fn=cmd_bench)

@@ -17,8 +17,11 @@ capacity can come from the measured active count):
 3. **Shade.** FD normals (12 SDF evals), Lambert mix, ACES in a third kernel;
    tiles without collisions skip the normal evaluations (``@pl.when``).
 
-The classic single-phase fused kernel remains available (``two_phase=False``)
-and is bit-equivalent to the pure-JAX tracer + shader.
+The single-phase fused kernel (``two_phase=False``) is the default: with the
+32x32 spatial swizzle and multi-block grid steps the in-tile worst case is
+already well contained, and measurements show the tail compaction's
+gather/scatter overhead outweighs its savings on the reference scene. The
+two-phase mode remains available for scenes with pathological silhouettes.
 """
 
 from __future__ import annotations
@@ -579,7 +582,7 @@ def trace_pallas(
     *,
     bb: tuple | None = None,
     use_bb_skip: bool = True,
-    two_phase: bool = True,
+    two_phase: bool = False,
     phase_a_steps: int = 32,
     tail_cap: int | None = None,
     interpret: bool = False,
@@ -611,7 +614,7 @@ def render_image_pallas(
     *,
     bb: tuple | None = None,
     use_bb_skip: bool = True,
-    two_phase: bool = True,
+    two_phase: bool = False,
     phase_a_steps: int = 32,
     tail_cap: int | None = None,
     interpret: bool = False,

@@ -144,3 +144,15 @@ class TestVoxelSharding:
         np.testing.assert_allclose(
             np.asarray(out_s)[:n], np.asarray(out_m)[:n], atol=1e-6
         )
+
+
+def test_benchmark_scaling_mechanism():
+    """The scaling benchmark runs on the virtual CPU mesh and reports a
+    finite efficiency (wall-clock on emulated devices is not meaningful;
+    this pins the mechanism the real-hardware run uses)."""
+    from bsdmg_tpu.bench import benchmark_scaling
+
+    r = benchmark_scaling(width=128, height=64, iters=1)
+    assert r["devices"] == 8
+    assert np.isfinite(r["rays_per_s"]) and r["rays_per_s"] > 0
+    assert np.isfinite(r["efficiency"])
