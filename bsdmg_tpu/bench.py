@@ -252,9 +252,10 @@ def benchmark_scaling(width: int = 1920, height: int = 1080, iters: int = 3):
     from bsdmg_tpu.parallel import make_mesh, shard_rays
 
     scene = reference_render_scene()
-    sdf = scene.bind()
     cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
     origins, dirs, cone = generate_rays(cam, (width, height), (1920.0, 1080.0))
+
+    from bsdmg_tpu.ops.shade import render_image_c
 
     def measure(devices):
         mesh = make_mesh(devices)
@@ -263,7 +264,8 @@ def benchmark_scaling(width: int = 1920, height: int = 1080, iters: int = 3):
         @functools.partial(jax.jit, static_argnames="k")
         def many(k):
             return sum(
-                jnp.sum(render_image(sdf, o + 1e-6 * i, d, c)) for i in range(k)
+                jnp.sum(render_image_c(scene.csdf, scene.params, o + 1e-6 * i, d, c))
+                for i in range(k)
             )
 
         per_frame = _slope_time(lambda k: float(many(k)), k2=4, iters=iters)

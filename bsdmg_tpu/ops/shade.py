@@ -102,3 +102,47 @@ def render_image(
 
     hit = sphere_trace(sdf, origins, directions, cone_radius, config)
     return shade_hits(sdf, hit, config, use_grad_normal=use_grad_normal)
+
+
+def render_image_c(
+    csdf_p,
+    params,
+    origins: jax.Array,
+    directions: jax.Array,
+    cone_radius: jax.Array,
+    config: MarchConfig = MarchConfig(),
+) -> jax.Array:
+    """Component-form (SoA) trace + shade: same semantics as
+    :func:`render_image` with the scene given as ``csdf_p(params, x, y, z)``
+    (``Scene.csdf``). Coordinate planes keep full TPU lane occupancy — the
+    fast path for sharded/multi-device rendering where the Pallas kernel's
+    param-baking is inconvenient."""
+    # local import: render_kernel imports this module's color constants
+    from bsdmg_tpu.ops.pallas.render_kernel import _aces_plane, _fd_normal, _march
+
+    batch = origins.shape[:-1]
+    cone = jnp.broadcast_to(jnp.asarray(cone_radius, jnp.float32), batch)
+    ox, oy, oz = origins[..., 0], origins[..., 1], origins[..., 2]
+    dx, dy, dz = directions[..., 0], directions[..., 1], directions[..., 2]
+    f = lambda x, y, z: csdf_p(params, x, y, z)
+
+    depth, steps, outcome, _ = _march(
+        f, config, (ox, oy, oz), (dx, dy, dz), cone,
+        jnp.ones(batch, bool), jnp.zeros(batch, jnp.float32),
+        jnp.zeros(batch, jnp.int32), config.step_limit,
+    )
+    px, py, pz = ox + depth * dx, oy + depth * dy, oz + depth * dz
+    nx, ny, nz = _fd_normal(f, px, py, pz, config.normal_epsilon)
+
+    light = jnp.asarray(LIGHT_DIR, jnp.float32)
+    light = light / jnp.linalg.norm(light)
+    t = (nx * light[0] + ny * light[1] + nz * light[2] + 1.0) / 2.0
+    low = jnp.asarray(COLOR_LOW, jnp.float32)
+    high = jnp.asarray(COLOR_HIGH, jnp.float32)
+    collided = outcome == COLLISION
+    white = (outcome == STEP_LIMIT).astype(jnp.float32)
+    r = jnp.where(collided, low[0] + t * (high[0] - low[0]), white)
+    g = jnp.where(collided, low[1] + t * (high[1] - low[1]), white)
+    b = jnp.where(collided, low[2] + t * (high[2] - low[2]), white)
+    r, g, b = _aces_plane(r, g, b)
+    return jnp.stack([r, g, b], axis=-1)

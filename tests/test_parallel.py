@@ -156,3 +156,21 @@ def test_benchmark_scaling_mechanism():
     assert r["devices"] == 8
     assert np.isfinite(r["rays_per_s"]) and r["rays_per_s"] > 0
     assert np.isfinite(r["efficiency"])
+
+
+def test_render_sharded_csdf_matches_points_path():
+    from bsdmg_tpu.cam import generate_rays, look_at
+    from bsdmg_tpu.models import reference_render_scene
+    from bsdmg_tpu.parallel import make_mesh, render_sharded, shard_rays
+
+    scene = reference_render_scene()
+    cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+    origins, dirs, cone = generate_rays(cam, (128, 64), (1920.0, 1080.0))
+    mesh = make_mesh()
+    o, d, c, unpermute = shard_rays(origins, dirs, cone, mesh)
+    a = np.asarray(render_sharded(scene.sdf, scene.params, o, d, c, mesh,
+                                  use_grad_normal=False))
+    b = np.asarray(render_sharded(scene.sdf, scene.params, o, d, c, mesh,
+                                  csdf=scene.csdf))
+    diff = np.abs(a - b)
+    assert (diff.max(-1) > 1e-3).mean() < 0.005
