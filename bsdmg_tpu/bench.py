@@ -257,16 +257,34 @@ def benchmark_scaling(width: int = 1920, height: int = 1080, iters: int = 3):
 
     from bsdmg_tpu.ops.shade import render_image_c
 
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from bsdmg_tpu.ops.pallas import compile_scene_csdf
+        from bsdmg_tpu.ops.pallas.csdf import scene_bounds
+        from bsdmg_tpu.parallel.sharding import render_sharded_pallas
+
+        baked = compile_scene_csdf(scene)
+        bb = scene_bounds(scene)
+
     def measure(devices):
         mesh = make_mesh(devices)
         o, d, c, _ = shard_rays(origins, dirs, cone, mesh)
 
-        @functools.partial(jax.jit, static_argnames="k")
-        def many(k):
-            return sum(
-                jnp.sum(render_image_c(scene.csdf, scene.params, o + 1e-6 * i, d, c))
-                for i in range(k)
-            )
+        if on_tpu:
+            # the production forward-serving path: fused kernel per chip
+            @functools.partial(jax.jit, static_argnames="k")
+            def many(k):
+                return sum(
+                    jnp.sum(render_sharded_pallas(baked, o + 1e-6 * i, d, c, mesh, bb=bb))
+                    for i in range(k)
+                )
+        else:
+            @functools.partial(jax.jit, static_argnames="k")
+            def many(k):
+                return sum(
+                    jnp.sum(render_image_c(scene.csdf, scene.params, o + 1e-6 * i, d, c))
+                    for i in range(k)
+                )
 
         per_frame = _slope_time(lambda k: float(many(k)), k2=4, iters=iters)
         return width * height / per_frame

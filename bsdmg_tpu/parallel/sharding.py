@@ -171,3 +171,51 @@ def train_step(
         scene, optimizer, params, opt_state, target, origins, directions, cone,
         csdf,
     )
+
+
+def render_sharded_pallas(
+    csdf,
+    origins: jax.Array,
+    directions: jax.Array,
+    cone: jax.Array,
+    mesh: Mesh,
+    config: MarchConfig = MarchConfig(),
+    *,
+    bb: tuple | None = None,
+    interpret: bool = False,
+):
+    """Multi-device fused-kernel rendering: ``shard_map`` over the mesh with
+    the single-chip Pallas render kernel inside.
+
+    Rays shard over both mesh axes (rows over "dp", columns over "sp"); the
+    scene is a compiled component SDF (params baked — the forward-serving
+    configuration). SDF evaluation is embarrassingly parallel, so there is no
+    collective inside the map: each chip traces and shades its own tile of
+    the image at full single-chip kernel speed (~586 Mrays/s/chip at 1080p on
+    v5e), which is what makes >= 80% scaling efficiency the expectation —
+    the only cross-device traffic is the initial shard placement.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from bsdmg_tpu.ops.pallas.render_kernel import render_image_pallas
+
+    ray_spec = P("dp", "sp", None)
+    plane_spec = P("dp", "sp")
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(ray_spec, ray_spec, plane_spec),
+        out_specs=ray_spec,
+        check_rep=False,
+    )
+    def local(o, d, c):
+        return render_image_pallas(
+            csdf, o, d, c, config, bb=bb, use_bb_skip=bb is not None,
+            interpret=interpret,
+        )
+
+    cone_full = jnp.broadcast_to(
+        jnp.asarray(cone, jnp.float32), origins.shape[:-1]
+    )
+    return local(origins, directions, cone_full)
