@@ -129,10 +129,28 @@ def cmd_mesh(args) -> None:
     from bsdmg_tpu.ops.pallas import compile_scene_csdf
 
     t0 = time.perf_counter()
-    mesh = generate_mesh(
-        scene.bind(), refine_steps=args.refine, config=cfg, on_level=on_level,
-        csdf=compile_scene_csdf(scene),
-    )
+    if args.resume:
+        # deterministic recovery (SURVEY §5): restart the pipeline from a
+        # saved field snapshot instead of level 0
+        from bsdmg_tpu.mesh import refine_field
+        from bsdmg_tpu.mesh.export import load_field
+        from bsdmg_tpu.mesh.pipeline import extract_mesh_chunked
+
+        csdf = compile_scene_csdf(scene)
+        field = load_field(args.resume)
+        log.info(
+            "resumed from %s: level %d, %d voxels", args.resume, field.level, field.count
+        )
+        on_level(field)
+        for _ in range(args.refine):
+            field = refine_field(scene.bind(), field, cfg, csdf=csdf)
+            on_level(field)
+        mesh = extract_mesh_chunked(scene.bind(), field, cfg, csdf=csdf)
+    else:
+        mesh = generate_mesh(
+            scene.bind(), refine_steps=args.refine, config=cfg, on_level=on_level,
+            csdf=compile_scene_csdf(scene),
+        )
     log.info(
         "mesh: %d vertices, %d triangles in %.3fs",
         mesh.vertex_count,
@@ -351,6 +369,7 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--newton-iters", type=int, default=24)
     m.add_argument("--interpolate-edges", action="store_true")
     m.add_argument("--checkpoint", default=None, help="save field npz per level")
+    m.add_argument("--resume", default=None, help="resume from a field npz; --refine counts further levels")
     m.add_argument("--output", "-o", default=None)
     m.set_defaults(fn=cmd_mesh)
 

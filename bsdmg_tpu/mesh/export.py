@@ -43,11 +43,20 @@ def save_obj(mesh: Mesh, path: str | Path, *, use_native: bool = True) -> None:
     Path(path).write_text("\n".join(lines) + "\n")
 
 
-def load_obj(path: str | Path) -> Mesh:
+def load_obj(path: str | Path, *, use_native: bool = True) -> Mesh:
     """Minimal OBJ reader: v/vn/f with arbitrary face arity (fan-triangulated).
 
     Supports the repo's mesh-SDF asset path (reference keeps OBJ assets under
-    assets/models/, loadable via bevy_obj)."""
+    assets/models/, loadable via bevy_obj). Uses the native C++ parser when
+    available (~20x on large assets); the Python path is the fallback and
+    the behavioral oracle (tests assert identical output)."""
+    if use_native:
+        from bsdmg_tpu.runtime.native import read_obj_native
+
+        out = read_obj_native(path)
+        if out is not None:
+            v, n, f = out
+            return Mesh(vertices=v, normals=n, faces=f)
     vertices: list[list[float]] = []
     normals: list[list[float]] = []
     faces: list[tuple[int, int, int]] = []

@@ -134,3 +134,37 @@ def write_obj_native(path, vertices, normals, faces) -> bool:
         ctypes.c_int64(faces.shape[0]),
     )
     return rc == 0
+
+
+def read_obj_native(path):
+    """Parse an OBJ with the native reader. Returns ``(vertices, normals,
+    faces)`` float32/float32/int32 arrays or ``None`` if unavailable/failed.
+    Normals are zeros when the file's vn count differs from v (same rule as
+    the Python reader)."""
+    lib = _load()
+    if lib is None:
+        return None
+    lib.bsdmg_obj_count.restype = ctypes.c_int32
+    lib.bsdmg_obj_read.restype = ctypes.c_int32
+    nv = ctypes.c_int64()
+    nn = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    pathb = str(path).encode()
+    if lib.bsdmg_obj_count(pathb, ctypes.byref(nv), ctypes.byref(nn), ctypes.byref(nf)) != 0:
+        return None
+    vertices = np.empty((nv.value, 3), np.float32)
+    normals = np.empty((max(nn.value, 1), 3), np.float32)
+    faces = np.empty((nf.value, 3), np.int32)
+    rc = lib.bsdmg_obj_read(
+        pathb,
+        _fptr(vertices), ctypes.c_int64(nv.value),
+        _fptr(normals), ctypes.c_int64(nn.value),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ctypes.c_int64(nf.value),
+    )
+    if rc != 0:
+        return None
+    if nn.value != nv.value:
+        normals = np.zeros_like(vertices)
+    else:
+        normals = normals[: nv.value]
+    return vertices, normals, faces

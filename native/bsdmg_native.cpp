@@ -125,4 +125,97 @@ int64_t bsdmg_compact_triangles(const float* positions, const float* normals,
   return out;
 }
 
+// --- OBJ reader ---
+// Pass 1 (bsdmg_obj_count): scan the file, return counts so the caller can
+// allocate. Pass 2 (bsdmg_obj_read): fill vertex/normal/face buffers.
+// Supports "v x y z", "vn x y z" and "f" rows with 3+ indices in any of the
+// a, a/b, a//c, a/b/c forms (fan-triangulated; negative indices relative).
+// Mirrors the Python reader (bsdmg_tpu/mesh/export.py::load_obj).
+
+static const char* skip_ws(const char* p) {
+  while (*p == ' ' || *p == '\t' || *p == '\r') ++p;
+  return p;
+}
+
+int32_t bsdmg_obj_count(const char* path, int64_t* n_vertices,
+                        int64_t* n_normals, int64_t* n_faces) {
+  FILE* f = fopen(path, "r");
+  if (!f) return -1;
+  char line[8192];
+  int64_t nv = 0, nn = 0, nf = 0;
+  while (fgets(line, sizeof line, f)) {
+    const char* p = skip_ws(line);
+    if (p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) ++nv;
+    else if (p[0] == 'v' && p[1] == 'n' && (p[2] == ' ' || p[2] == '\t')) ++nn;
+    else if (p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
+      int64_t corners = 0;
+      const char* q = p + 1;
+      for (;;) {
+        q = skip_ws(q);
+        if (*q == '\0' || *q == '\n' || *q == '#') break;
+        ++corners;
+        while (*q && *q != ' ' && *q != '\t' && *q != '\n' && *q != '\r') ++q;
+      }
+      if (corners >= 3) nf += corners - 2;
+    }
+  }
+  fclose(f);
+  *n_vertices = nv; *n_normals = nn; *n_faces = nf;
+  return 0;
+}
+
+int32_t bsdmg_obj_read(const char* path,
+                       float* vertices, int64_t n_vertices,
+                       float* normals, int64_t n_normals,
+                       int32_t* faces, int64_t n_faces) {
+  FILE* f = fopen(path, "r");
+  if (!f) return -1;
+  char line[8192];
+  int64_t iv = 0, in = 0, ifc = 0;
+  int32_t fan[256];
+  while (fgets(line, sizeof line, f)) {
+    const char* p = skip_ws(line);
+    if (p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
+      if (iv >= n_vertices) { fclose(f); return -2; }
+      char* end;
+      float x = strtof(p + 1, &end);
+      float y = strtof(end, &end);
+      float z = strtof(end, &end);
+      vertices[3 * iv] = x; vertices[3 * iv + 1] = y; vertices[3 * iv + 2] = z;
+      ++iv;
+    } else if (p[0] == 'v' && p[1] == 'n' && (p[2] == ' ' || p[2] == '\t')) {
+      if (in >= n_normals) { fclose(f); return -2; }
+      char* end;
+      float x = strtof(p + 2, &end);
+      float y = strtof(end, &end);
+      float z = strtof(end, &end);
+      normals[3 * in] = x; normals[3 * in + 1] = y; normals[3 * in + 2] = z;
+      ++in;
+    } else if (p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
+      const char* q = p + 1;
+      int corners = 0;
+      for (;;) {
+        q = skip_ws(q);
+        if (*q == '\0' || *q == '\n' || *q == '#') break;
+        char* end;
+        long idx = strtol(q, &end, 10);
+        if (end == q) break;
+        long zero_based = idx > 0 ? idx - 1 : (long)iv + idx;
+        if (corners < 256) fan[corners++] = (int32_t)zero_based;
+        q = end;
+        while (*q && *q != ' ' && *q != '\t' && *q != '\n' && *q != '\r') ++q;
+      }
+      for (int k = 1; k + 1 < corners; ++k) {
+        if (ifc >= n_faces) { fclose(f); return -2; }
+        faces[3 * ifc] = fan[0];
+        faces[3 * ifc + 1] = fan[k];
+        faces[3 * ifc + 2] = fan[k + 1];
+        ++ifc;
+      }
+    }
+  }
+  fclose(f);
+  return (iv == n_vertices && ifc == n_faces) ? 0 : -3;
+}
+
 }  // extern "C"

@@ -67,3 +67,29 @@ class TestNativeObj:
         python_lines = p_python.read_text().splitlines()
         # identical payload (comment headers differ)
         assert native_lines[1:] == python_lines[1:]
+
+
+def test_native_obj_reader_matches_python(tmp_path):
+    from bsdmg_tpu.mesh.export import load_obj
+    from bsdmg_tpu.runtime.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+
+    # mixed face formats, a quad fan, negative indices, comments
+    obj = tmp_path / "mixed.obj"
+    obj.write_text(
+        "# comment\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nv 0 0 1\n"
+        "vn 0 0 1\nvn 0 0 1\nvn 0 0 1\nvn 0 0 1\nvn 0 0 1\n"
+        "f 1 2 3 4\n"          # quad -> 2 triangles
+        "f 1//1 2//2 5//5\n"   # v//vn form
+        "f -5/-5/-5 -4/-4/-4 -1/-1/-1\n"  # negative indices
+        "usemtl whatever\n"
+    )
+    a = load_obj(obj, use_native=True)
+    b = load_obj(obj, use_native=False)
+    np.testing.assert_allclose(a.vertices, b.vertices)
+    np.testing.assert_allclose(a.normals, b.normals)
+    np.testing.assert_array_equal(a.faces, b.faces)
+    assert a.triangle_count == 4
