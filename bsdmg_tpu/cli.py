@@ -175,8 +175,6 @@ def cmd_animate(args) -> None:
 
     log = get_logger()
     scene = _get_scene(args.scene)
-    sdf = scene.bind()
-    render = jax.jit(lambda o, d, c: render_image(sdf, o, d, c))
 
     radius = float(np.linalg.norm(args.camera))
     for i in range(args.frames):
@@ -186,7 +184,7 @@ def cmd_animate(args) -> None:
         origins, dirs, cone = generate_rays(
             cam, (args.width, args.height), (args.screen_width, args.screen_height)
         )
-        img = jax.block_until_ready(render(origins, dirs, cone))
+        img = jax.block_until_ready(_render_any(scene, origins, dirs, cone))
         path = f"{args.output or 'frame'}_{i:04d}.png"
         save_png(np.asarray(to_rgba8(img)), path)
         log.info("frame %d/%d -> %s", i + 1, args.frames, path)

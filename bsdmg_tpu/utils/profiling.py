@@ -31,7 +31,8 @@ class Roofline:
     rays: int
     avg_steps: float
     ops_per_eval: int
-    vpu_flops_per_s: float = 0.9e12  # ~f32 VPU throughput of one v5e core
+    #: f32 VPU peak of one v5e core: 8x128 lanes x 4 ALUs x ~0.94 GHz.
+    vpu_flops_per_s: float = 3.85e12
 
     @property
     def total_ops(self) -> float:
@@ -45,12 +46,15 @@ class Roofline:
         return self.seconds / measured_seconds
 
 
-def render_roofline(width: int, height: int, avg_steps: float = 15.0,
-                    ops_per_eval: int = 160) -> Roofline:
+def render_roofline(width: int, height: int, avg_steps: float = 13.1,
+                    ops_per_eval: int = 110) -> Roofline:
     """Speed-of-light for the reference-scene render.
 
-    ``ops_per_eval`` ~160: two axis-aligned 12-edge skeletons with shared
-    clamps (~60 ops each after grouping), sphere + smooth-min + march
-    bookkeeping. ``avg_steps`` from the measured step histogram (p50=14).
+    ``ops_per_eval`` ~110: two factorized 12-edge skeletons (~40 ops each
+    with cross-product grouping), sphere + smooth-min + march bookkeeping.
+    ``avg_steps`` from the measured step histogram (mean 13.1). The measured
+    kernel reaches ~20-25% of this bound at 586 Mrays/s — the remainder is
+    tile-synchronized divergence (tile-max vs per-ray mean ~1.9x) and loop
+    overhead.
     """
     return Roofline(width * height, avg_steps, ops_per_eval)
