@@ -48,9 +48,12 @@ def _camera(args):
     )
 
 
-def _render_any(scene, origins, dirs, cone, prefer_pallas: bool | None = None):
-    """Render via the fused Pallas kernel when the scene compiles to
-    component form on a TPU backend; pure JAX otherwise."""
+def _make_renderer(scene, prefer_pallas: bool | None = None):
+    """Build a reusable ``(origins, dirs, cone) -> image`` callable: the
+    fused Pallas kernel when the scene compiles to component form on a TPU
+    backend, pure JAX otherwise. Build ONCE per scene — the Pallas path's
+    jit cache keys on the csdf closure's identity, so constructing a new
+    closure per frame recompiles the whole pipeline."""
     import jax
 
     from bsdmg_tpu.ops.shade import render_image
@@ -65,9 +68,13 @@ def _render_any(scene, origins, dirs, cone, prefer_pallas: bool | None = None):
         csdf = compile_scene_csdf(scene)
         if csdf is not None:
             bb = scene_bounds(scene)
-            return render_image_pallas(csdf, origins, dirs, cone, bb=bb)
+            return lambda o, d, c: render_image_pallas(csdf, o, d, c, bb=bb)
     sdf = scene.bind()
-    return jax.jit(lambda o, d, c: render_image(sdf, o, d, c))(origins, dirs, cone)
+    return jax.jit(lambda o, d, c: render_image(sdf, o, d, c))
+
+
+def _render_any(scene, origins, dirs, cone, prefer_pallas: bool | None = None):
+    return _make_renderer(scene, prefer_pallas)(origins, dirs, cone)
 
 
 def cmd_render(args) -> None:
@@ -175,6 +182,7 @@ def cmd_animate(args) -> None:
 
     log = get_logger()
     scene = _get_scene(args.scene)
+    render = _make_renderer(scene)
 
     radius = float(np.linalg.norm(args.camera))
     for i in range(args.frames):
@@ -184,7 +192,7 @@ def cmd_animate(args) -> None:
         origins, dirs, cone = generate_rays(
             cam, (args.width, args.height), (args.screen_width, args.screen_height)
         )
-        img = jax.block_until_ready(_render_any(scene, origins, dirs, cone))
+        img = jax.block_until_ready(render(origins, dirs, cone))
         path = f"{args.output or 'frame'}_{i:04d}.png"
         save_png(np.asarray(to_rgba8(img)), path)
         log.info("frame %d/%d -> %s", i + 1, args.frames, path)

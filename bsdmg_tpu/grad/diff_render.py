@@ -133,7 +133,7 @@ def _render_image_diff_c(
 ) -> jax.Array:
     """Component-form differentiable render (same semantics as the points
     path; gradients via the implicit function theorem at the hit)."""
-    from bsdmg_tpu.ops.pallas.render_kernel import _aces_plane, _march
+    from bsdmg_tpu.ops.pallas.render_kernel import _march
     from bsdmg_tpu.sdf.normals import normal_jvp_c
 
     batch = origins.shape[:-1]
@@ -167,16 +167,9 @@ def _render_image_diff_c(
     f_live = lambda x, y, z: csdf(params, x, y, z)
     nx, ny, nz = normal_jvp_c(f_live, qx, qy, qz)
 
-    light = jnp.asarray(LIGHT_DIR, jnp.float32)
-    light = light / jnp.linalg.norm(light)
-    t = (nx * light[0] + ny * light[1] + nz * light[2] + 1.0) / 2.0
-    low = jnp.asarray(COLOR_LOW, jnp.float32)
-    high = jnp.asarray(COLOR_HIGH, jnp.float32)
-    white = (outcome == STEP_LIMIT).astype(jnp.float32)
-    r = jnp.where(collided, low[0] + t * (high[0] - low[0]), white)
-    g = jnp.where(collided, low[1] + t * (high[1] - low[1]), white)
-    b = jnp.where(collided, low[2] + t * (high[2] - low[2]), white)
-    r, g, b = _aces_plane(r, g, b)
+    from bsdmg_tpu.ops.shade import shade_planes
+
+    r, g, b = shade_planes(nx, ny, nz, outcome)
     return jnp.stack([r, g, b], axis=-1)
 
 

@@ -48,10 +48,15 @@ def atan_c(v):
 
 def atan2_c(y, x):
     """Polynomial ``atan2`` on planes (quadrant-correct, atan2(0, 0) = 0)."""
-    safe_x = jnp.where(jnp.abs(x) < 1e-30, 1e-30, x)
+    # the magnitude guard must preserve x's sign: flipping a tiny negative
+    # x to +eps while still applying the +-pi quadrant correction returns
+    # +-3pi/2 instead of +-pi/2
+    safe_x = jnp.where(
+        jnp.abs(x) < 1e-30, jnp.where(x < 0, -1e-30, 1e-30), x
+    )
     base = atan_c(y / safe_x)
     add = jnp.where(
-        x < 0, jnp.where(y < 0, -_PI, _PI), 0.0
+        safe_x < 0, jnp.where(y < 0, -_PI, _PI), 0.0
     )
     return base + add
 

@@ -280,6 +280,8 @@ def _shade_kernel(csdf, config: MarchConfig):
         any_collision = jnp.sum(collided.astype(jnp.int32)) > 0
         white = (outcome == STEP_LIMIT).astype(jnp.float32)
 
+        from bsdmg_tpu.ops.shade import shade_planes
+
         @pl.when(any_collision)
         def _():
             depth = depth_ref[:]
@@ -287,14 +289,7 @@ def _shade_kernel(csdf, config: MarchConfig):
             py = oy_ref[:] + depth * dy_ref[:]
             pz = oz_ref[:] + depth * dz_ref[:]
             nx, ny, nz = _fd_normal(csdf, px, py, pz, config.normal_epsilon)
-            t = (nx * _LIGHT[0] + ny * _LIGHT[1] + nz * _LIGHT[2] + 1.0) * 0.5
-            cr = COLOR_LOW[0] + t * (COLOR_HIGH[0] - COLOR_LOW[0])
-            cg = COLOR_LOW[1] + t * (COLOR_HIGH[1] - COLOR_LOW[1])
-            cb = COLOR_LOW[2] + t * (COLOR_HIGH[2] - COLOR_LOW[2])
-            cr = jnp.where(collided, cr, white)
-            cg = jnp.where(collided, cg, white)
-            cb = jnp.where(collided, cb, white)
-            rr, gg, bbv = _aces_plane(cr, cg, cb)
+            rr, gg, bbv = shade_planes(nx, ny, nz, outcome)
             r_ref[:] = rr
             g_ref[:] = gg
             b_ref[:] = bbv

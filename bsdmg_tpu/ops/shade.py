@@ -104,6 +104,31 @@ def render_image(
     return shade_hits(sdf, hit, config, use_grad_normal=use_grad_normal)
 
 
+def shade_planes(nx, ny, nz, outcome):
+    """Plane-form shading: Lambert two-color mix on collisions, white on
+    step-limit, black otherwise, ACES tonemap. Returns ``(r, g, b)`` planes.
+    The single source of truth for the reference's shading formula
+    (compute_render.cu:67-89) on component data — used by the Pallas shade
+    kernel, the SoA renderer and the differentiable SoA renderer. All
+    constants are Python scalars: Pallas kernels cannot capture traced
+    array constants."""
+    from bsdmg_tpu.ops.pallas.render_kernel import _aces_plane
+
+    import math
+
+    inv = 1.0 / math.sqrt(
+        LIGHT_DIR[0] ** 2 + LIGHT_DIR[1] ** 2 + LIGHT_DIR[2] ** 2
+    )
+    lx, ly, lz = (c * inv for c in LIGHT_DIR)
+    t = (nx * lx + ny * ly + nz * lz + 1.0) * 0.5
+    collided = outcome == COLLISION
+    white = (outcome == STEP_LIMIT).astype(jnp.float32)
+    r = jnp.where(collided, COLOR_LOW[0] + t * (COLOR_HIGH[0] - COLOR_LOW[0]), white)
+    g = jnp.where(collided, COLOR_LOW[1] + t * (COLOR_HIGH[1] - COLOR_LOW[1]), white)
+    b = jnp.where(collided, COLOR_LOW[2] + t * (COLOR_HIGH[2] - COLOR_LOW[2]), white)
+    return _aces_plane(r, g, b)
+
+
 def render_image_c(
     csdf_p,
     params,
@@ -111,14 +136,18 @@ def render_image_c(
     directions: jax.Array,
     cone_radius: jax.Array,
     config: MarchConfig = MarchConfig(),
+    *,
+    use_grad_normal: bool = False,
 ) -> jax.Array:
     """Component-form (SoA) trace + shade: same semantics as
     :func:`render_image` with the scene given as ``csdf_p(params, x, y, z)``
     (``Scene.csdf``). Coordinate planes keep full TPU lane occupancy — the
     fast path for sharded/multi-device rendering where the Pallas kernel's
-    param-baking is inconvenient."""
+    param-baking is inconvenient. ``use_grad_normal`` selects forward-mode
+    analytic normals over the reference's fd4 stencil."""
     # local import: render_kernel imports this module's color constants
-    from bsdmg_tpu.ops.pallas.render_kernel import _aces_plane, _fd_normal, _march
+    from bsdmg_tpu.ops.pallas.render_kernel import _fd_normal, _march
+    from bsdmg_tpu.sdf.normals import normal_jvp_c
 
     batch = origins.shape[:-1]
     cone = jnp.broadcast_to(jnp.asarray(cone_radius, jnp.float32), batch)
@@ -132,17 +161,10 @@ def render_image_c(
         jnp.zeros(batch, jnp.int32), config.step_limit,
     )
     px, py, pz = ox + depth * dx, oy + depth * dy, oz + depth * dz
-    nx, ny, nz = _fd_normal(f, px, py, pz, config.normal_epsilon)
+    if use_grad_normal:
+        nx, ny, nz = normal_jvp_c(f, px, py, pz)
+    else:
+        nx, ny, nz = _fd_normal(f, px, py, pz, config.normal_epsilon)
 
-    light = jnp.asarray(LIGHT_DIR, jnp.float32)
-    light = light / jnp.linalg.norm(light)
-    t = (nx * light[0] + ny * light[1] + nz * light[2] + 1.0) / 2.0
-    low = jnp.asarray(COLOR_LOW, jnp.float32)
-    high = jnp.asarray(COLOR_HIGH, jnp.float32)
-    collided = outcome == COLLISION
-    white = (outcome == STEP_LIMIT).astype(jnp.float32)
-    r = jnp.where(collided, low[0] + t * (high[0] - low[0]), white)
-    g = jnp.where(collided, low[1] + t * (high[1] - low[1]), white)
-    b = jnp.where(collided, low[2] + t * (high[2] - low[2]), white)
-    r, g, b = _aces_plane(r, g, b)
+    r, g, b = shade_planes(nx, ny, nz, outcome)
     return jnp.stack([r, g, b], axis=-1)

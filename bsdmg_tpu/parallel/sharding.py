@@ -122,7 +122,9 @@ def render_sharded(
 
     @partial(jax.jit, static_argnums=(0,), out_shardings=out_sharding)
     def _render_c(component_fn, p, o, d, c):
-        return render_image_c(component_fn, p, o, d, c, config)
+        return render_image_c(
+            component_fn, p, o, d, c, config, use_grad_normal=use_grad_normal
+        )
 
     if csdf is not None:
         # SoA fast path: coordinate planes, full lane occupancy (~20x)

@@ -130,37 +130,122 @@ int64_t bsdmg_compact_triangles(const float* positions, const float* normals,
 // allocate. Pass 2 (bsdmg_obj_read): fill vertex/normal/face buffers.
 // Supports "v x y z", "vn x y z" and "f" rows with 3+ indices in any of the
 // a, a/b, a//c, a/b/c forms (fan-triangulated; negative indices relative).
-// Mirrors the Python reader (bsdmg_tpu/mesh/export.py::load_obj).
+// Mirrors the Python reader (bsdmg_tpu/mesh/export.py::load_obj). The whole
+// file is read into memory and split on newlines, so arbitrarily long face
+// rows (CAD exporters emit multi-KB fans) parse correctly — a fixed fgets
+// buffer would silently split them identically in both passes.
+
+static char* read_whole_file(const char* path, long* out_len) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long len = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  char* buf = (char*)malloc((size_t)len + 1);
+  if (!buf) { fclose(f); return nullptr; }
+  size_t got = fread(buf, 1, (size_t)len, f);
+  fclose(f);
+  buf[got] = '\0';
+  *out_len = (long)got;
+  return buf;
+}
 
 static const char* skip_ws(const char* p) {
   while (*p == ' ' || *p == '\t' || *p == '\r') ++p;
   return p;
 }
 
+// Parse one line starting at `p`; advance `*next` past the newline.
+// mode 0: count only. mode 1: fill buffers.
+struct ObjState {
+  int64_t nv, nn, nf;
+  float* vertices; int64_t cap_v;
+  float* normals;  int64_t cap_n;
+  int32_t* faces;  int64_t cap_f;
+  int overflow;
+};
+
+static void obj_line(const char* p, const char* line_end, int mode, ObjState* st) {
+  p = skip_ws(p);
+  if (p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
+    if (mode) {
+      if (st->nv >= st->cap_v) { st->overflow = 1; return; }
+      char* end;
+      float x = strtof(p + 1, &end);
+      float y = strtof(end, &end);
+      float z = strtof(end, &end);
+      st->vertices[3 * st->nv] = x;
+      st->vertices[3 * st->nv + 1] = y;
+      st->vertices[3 * st->nv + 2] = z;
+    }
+    ++st->nv;
+  } else if (p[0] == 'v' && p[1] == 'n' && (p[2] == ' ' || p[2] == '\t')) {
+    if (mode) {
+      if (st->nn >= st->cap_n) { st->overflow = 1; return; }
+      char* end;
+      float x = strtof(p + 2, &end);
+      float y = strtof(end, &end);
+      float z = strtof(end, &end);
+      st->normals[3 * st->nn] = x;
+      st->normals[3 * st->nn + 1] = y;
+      st->normals[3 * st->nn + 2] = z;
+    }
+    ++st->nn;
+  } else if (p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
+    const char* q = p + 1;
+    int64_t corners = 0;
+    int32_t first = 0, prev = 0;
+    for (;;) {
+      q = skip_ws(q);
+      if (q >= line_end || *q == '\0' || *q == '\n' || *q == '#') break;
+      char* end;
+      long idx = strtol(q, &end, 10);
+      if (end == q) break;
+      if (mode) {
+        long zero_based = idx > 0 ? idx - 1 : (long)st->nv + idx;
+        int32_t cur = (int32_t)zero_based;
+        if (corners >= 2) {
+          if (st->nf >= st->cap_f) { st->overflow = 1; return; }
+          st->faces[3 * st->nf] = first;
+          st->faces[3 * st->nf + 1] = prev;
+          st->faces[3 * st->nf + 2] = cur;
+          ++st->nf;
+        } else if (corners == 0) {
+          first = cur;
+        }
+        prev = cur;
+      }
+      ++corners;
+      q = end;
+      while (q < line_end && *q && *q != ' ' && *q != '\t' && *q != '\n' && *q != '\r') ++q;
+    }
+    if (!mode && corners >= 3) st->nf += corners - 2;
+  }
+}
+
+static int obj_scan(const char* path, int mode, ObjState* st) {
+  long len = 0;
+  char* buf = read_whole_file(path, &len);
+  if (!buf) return -1;
+  const char* p = buf;
+  const char* end = buf + len;
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', (size_t)(end - p));
+    const char* line_end = nl ? nl : end;
+    obj_line(p, line_end, mode, st);
+    if (st->overflow) { free(buf); return -2; }
+    p = line_end + 1;
+  }
+  free(buf);
+  return 0;
+}
+
 int32_t bsdmg_obj_count(const char* path, int64_t* n_vertices,
                         int64_t* n_normals, int64_t* n_faces) {
-  FILE* f = fopen(path, "r");
-  if (!f) return -1;
-  char line[8192];
-  int64_t nv = 0, nn = 0, nf = 0;
-  while (fgets(line, sizeof line, f)) {
-    const char* p = skip_ws(line);
-    if (p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) ++nv;
-    else if (p[0] == 'v' && p[1] == 'n' && (p[2] == ' ' || p[2] == '\t')) ++nn;
-    else if (p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
-      int64_t corners = 0;
-      const char* q = p + 1;
-      for (;;) {
-        q = skip_ws(q);
-        if (*q == '\0' || *q == '\n' || *q == '#') break;
-        ++corners;
-        while (*q && *q != ' ' && *q != '\t' && *q != '\n' && *q != '\r') ++q;
-      }
-      if (corners >= 3) nf += corners - 2;
-    }
-  }
-  fclose(f);
-  *n_vertices = nv; *n_normals = nn; *n_faces = nf;
+  ObjState st = {};
+  int rc = obj_scan(path, 0, &st);
+  if (rc != 0) return rc;
+  *n_vertices = st.nv; *n_normals = st.nn; *n_faces = st.nf;
   return 0;
 }
 
@@ -168,54 +253,13 @@ int32_t bsdmg_obj_read(const char* path,
                        float* vertices, int64_t n_vertices,
                        float* normals, int64_t n_normals,
                        int32_t* faces, int64_t n_faces) {
-  FILE* f = fopen(path, "r");
-  if (!f) return -1;
-  char line[8192];
-  int64_t iv = 0, in = 0, ifc = 0;
-  int32_t fan[256];
-  while (fgets(line, sizeof line, f)) {
-    const char* p = skip_ws(line);
-    if (p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
-      if (iv >= n_vertices) { fclose(f); return -2; }
-      char* end;
-      float x = strtof(p + 1, &end);
-      float y = strtof(end, &end);
-      float z = strtof(end, &end);
-      vertices[3 * iv] = x; vertices[3 * iv + 1] = y; vertices[3 * iv + 2] = z;
-      ++iv;
-    } else if (p[0] == 'v' && p[1] == 'n' && (p[2] == ' ' || p[2] == '\t')) {
-      if (in >= n_normals) { fclose(f); return -2; }
-      char* end;
-      float x = strtof(p + 2, &end);
-      float y = strtof(end, &end);
-      float z = strtof(end, &end);
-      normals[3 * in] = x; normals[3 * in + 1] = y; normals[3 * in + 2] = z;
-      ++in;
-    } else if (p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
-      const char* q = p + 1;
-      int corners = 0;
-      for (;;) {
-        q = skip_ws(q);
-        if (*q == '\0' || *q == '\n' || *q == '#') break;
-        char* end;
-        long idx = strtol(q, &end, 10);
-        if (end == q) break;
-        long zero_based = idx > 0 ? idx - 1 : (long)iv + idx;
-        if (corners < 256) fan[corners++] = (int32_t)zero_based;
-        q = end;
-        while (*q && *q != ' ' && *q != '\t' && *q != '\n' && *q != '\r') ++q;
-      }
-      for (int k = 1; k + 1 < corners; ++k) {
-        if (ifc >= n_faces) { fclose(f); return -2; }
-        faces[3 * ifc] = fan[0];
-        faces[3 * ifc + 1] = fan[k];
-        faces[3 * ifc + 2] = fan[k + 1];
-        ++ifc;
-      }
-    }
-  }
-  fclose(f);
-  return (iv == n_vertices && ifc == n_faces) ? 0 : -3;
+  ObjState st = {};
+  st.vertices = vertices; st.cap_v = n_vertices;
+  st.normals = normals;  st.cap_n = n_normals;
+  st.faces = faces;      st.cap_f = n_faces;
+  int rc = obj_scan(path, 1, &st);
+  if (rc != 0) return rc;
+  return (st.nv == n_vertices && st.nf == n_faces) ? 0 : -3;
 }
 
 }  // extern "C"

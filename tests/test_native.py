@@ -93,3 +93,26 @@ def test_native_obj_reader_matches_python(tmp_path):
     np.testing.assert_allclose(a.normals, b.normals)
     np.testing.assert_array_equal(a.faces, b.faces)
     assert a.triangle_count == 4
+
+
+def test_native_obj_reader_long_face_line(tmp_path):
+    """A multi-KB polygon fan (legal OBJ from CAD exporters) must parse
+    identically to the Python reader — a fixed line buffer would split it."""
+    from bsdmg_tpu.mesh.export import load_obj
+    from bsdmg_tpu.runtime.native import native_available
+
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+
+    n = 1500  # one face row with 1500 indices (~10KB line)
+    rng = np.random.default_rng(0)
+    lines = [f"v {x:.6f} {y:.6f} {z:.6f}" for x, y, z in rng.normal(size=(n, 3))]
+    lines.append("f " + " ".join(str(i + 1) for i in range(n)))
+    obj = tmp_path / "fan.obj"
+    obj.write_text("\n".join(lines) + "\n")
+
+    a = load_obj(obj, use_native=True)
+    b = load_obj(obj, use_native=False)
+    assert a.triangle_count == n - 2
+    np.testing.assert_allclose(a.vertices, b.vertices)
+    np.testing.assert_array_equal(a.faces, b.faces)
