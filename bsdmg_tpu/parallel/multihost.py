@@ -27,10 +27,15 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
     coordinator = coordinator or os.environ.get("BSDMG_COORDINATOR")
     if coordinator is None:
         return
+    # NOTE: `x or default` would misroute process 0 (falsy) to the env var
+    if num_processes is None:
+        num_processes = int(os.environ.get("BSDMG_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("BSDMG_PROCESS_ID", "0"))
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=num_processes or int(os.environ.get("BSDMG_NUM_PROCESSES", "1")),
-        process_id=process_id or int(os.environ.get("BSDMG_PROCESS_ID", "0")),
+        num_processes=num_processes,
+        process_id=process_id,
     )
 
 
