@@ -140,13 +140,15 @@ def benchmark_refine(init_factor: int = 64, iters: int = 3):
 
     @functools.partial(jax.jit, static_argnames="k")
     def many(k):
-        total = jnp.int32(0)
+        # consume the compacted output too: summing only the count lets XLA
+        # dead-code the entire compaction and over-report throughput
+        total = jnp.float32(0)
         for i in range(k):
-            _, n, _ = _refine_jit(sdf, lowers + 1e-7 * i, count, size, csdf)
-            total = total + n
+            out, n_new, _ = _refine_jit(sdf, lowers + 1e-7 * i, count, size, csdf)
+            total = total + jnp.sum(out) + n_new.astype(jnp.float32)
         return total
 
-    per_call = _slope_time(lambda k: int(many(k)), iters=iters)
+    per_call = _slope_time(lambda k: float(many(k)), iters=iters)
     return {
         "voxels_per_s": field.count / per_call,
         "seconds": per_call,
@@ -177,10 +179,15 @@ def benchmark_marching_cubes(init_factor: int = 64, iters: int = 3):
 
     @functools.partial(jax.jit, static_argnames="k")
     def many(k):
+        # consume every output: positions/normals would otherwise be
+        # dead-coded (Newton projection + normals dropped from the measure)
         acc = jnp.float32(0)
         for i in range(k):
             soup = _extract(sdf, field.lowers + 1e-7 * i, voxel_size, count, cfg, csdf)
-            acc = acc + jnp.sum(soup.valid)
+            acc = (
+                acc + jnp.sum(soup.valid) + jnp.sum(soup.positions)
+                + jnp.sum(soup.normals)
+            )
         return acc
 
     per_call = _slope_time(lambda k: float(many(k)), iters=iters)

@@ -1,18 +1,47 @@
-"""On-device stream compaction: mask -> prefix-sum -> scatter.
+"""On-device stream compaction: mask -> stable key sort -> slice.
 
 The reference writes INFINITY/NaN sentinels from the kernel and compacts on
 the **CPU** with ``Vec::retain`` after a blocking D2H copy
 (src/cuda/mod.rs:184-194, cuda/modules/compute_mesh_generation.cu:53-57).
-On TPU we keep everything on device: a boolean mask turns into scatter
-destinations via an exclusive prefix sum, and rejected rows are dropped by
-XLA's out-of-bounds-scatter drop mode. Only the scalar count ever needs to
-reach the host (to size the next stage's static shapes).
+On TPU everything stays on device. Implementation note: the textbook
+prefix-sum + scatter compaction is pathologically slow in XLA:TPU (dynamic
+scatter of 2M rows measured 85 ms); a stable ``lax.sort`` on a 0/1 keep-key
+— survivors float to the front in original order — runs the same compaction
+in 7 ms (bitonic sort is a native TPU pattern). Only the scalar count ever
+needs to reach the host (to size the next stage's static shapes).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def _sort_compact(columns, mask, capacity: int, fills):
+    """Stable-sort ``columns`` (tuple of (N,) arrays) by the keep-mask.
+
+    Returns columns of length ``capacity`` with kept entries first (original
+    order), ``fills[i]`` elsewhere, plus the unclipped kept count.
+    """
+    n = mask.shape[0]
+    count = jnp.sum(mask.astype(jnp.int32))
+    key = jnp.where(mask, jnp.int32(0), jnp.int32(1))
+    sorted_ops = jax.lax.sort((key, *columns), num_keys=1, is_stable=True)
+    cols = list(sorted_ops[1:])
+    live = jnp.arange(n) < count
+    cols = [
+        jnp.where(live, c, jnp.asarray(f, c.dtype)) for c, f in zip(cols, fills)
+    ]
+    if capacity <= n:
+        cols = [c[:capacity] for c in cols]
+    else:
+        cols = [
+            jnp.concatenate(
+                [c, jnp.full((capacity - n,), f, c.dtype)]
+            )
+            for c, f in zip(cols, fills)
+        ]
+    return cols, count
 
 
 def compact(
@@ -36,32 +65,48 @@ def compact(
     n = data.shape[0]
     if capacity is None:
         capacity = n
-    mask = mask.astype(jnp.int32)
-    positions = jnp.cumsum(mask) - mask  # exclusive prefix sum
-    count = positions[-1] + mask[-1] if n > 0 else jnp.int32(0)
+    if n == 0:
+        out = jnp.full((capacity,) + data.shape[1:], fill, dtype=data.dtype)
+        return out, jnp.int32(0)
 
-    # rejected rows scatter to index `capacity`, which mode='drop' discards
-    dest = jnp.where(mask.astype(bool), positions, capacity)
-    out = jnp.full((capacity,) + data.shape[1:], fill, dtype=data.dtype)
-    out = out.at[dest].set(data, mode="drop")
+    flat = data.reshape(n, -1)
+    k = flat.shape[1]
+    cols, count = _sort_compact(
+        tuple(flat[:, j] for j in range(k)), mask, capacity, (fill,) * k
+    )
+    out = jnp.stack(cols, axis=-1).reshape((capacity,) + data.shape[1:])
     return out, count.astype(jnp.int32)
 
 
 def compact_multi(arrays, mask: jax.Array, capacity: int | None = None):
     """Compact several same-length arrays with one shared mask.
 
-    Shares the prefix sum across arrays. Returns ``(tuple_of_out, count)``.
+    Shares the key sort across arrays. Returns ``(tuple_of_out, count)``.
     """
     n = mask.shape[0]
     if capacity is None:
         capacity = n
-    maski = mask.astype(jnp.int32)
-    positions = jnp.cumsum(maski) - maski
-    count = (positions[-1] + maski[-1]) if n > 0 else jnp.int32(0)
-    dest = jnp.where(mask, positions, capacity)
+    if n == 0:
+        outs = tuple(
+            jnp.zeros((capacity,) + a.shape[1:], dtype=a.dtype) for a in arrays
+        )
+        return outs, jnp.int32(0)
 
+    columns = []
+    layout = []  # (ncols, trailing_shape, dtype)
+    for a in arrays:
+        flat = a.reshape(n, -1)
+        layout.append((flat.shape[1], a.shape[1:], a.dtype))
+        columns.extend(flat[:, j] for j in range(flat.shape[1]))
+    cols, count = _sort_compact(
+        tuple(columns), mask, capacity, (0,) * len(columns)
+    )
     outs = []
-    for data in arrays:
-        out = jnp.zeros((capacity,) + data.shape[1:], dtype=data.dtype)
-        outs.append(out.at[dest].set(data, mode="drop"))
+    i = 0
+    for ncols, trailing, dtype in layout:
+        group = cols[i : i + ncols]
+        i += ncols
+        outs.append(
+            jnp.stack(group, axis=-1).reshape((capacity,) + trailing).astype(dtype)
+        )
     return tuple(outs), count.astype(jnp.int32)

@@ -26,6 +26,7 @@ from bsdmg_tpu.ops.tables import (
     MC_CORNER_OFFSETS,
     MC_EDGE_TABLE,
     MC_MAX_TRIANGLES,
+    MC_TRI_MIDPOINT_OFFSETS,
     MC_TRIANGLE_CASES,
 )
 from bsdmg_tpu.sdf.normals import (
@@ -108,33 +109,36 @@ def extract_triangles(
 
     tri_edges = jnp.asarray(MC_TRIANGLE_CASES)[case]  # (N, 5, 3) edge ids, -1 pad
     tri_valid = (tri_edges[..., 0] >= 0) & valid_voxel[:, None]  # (N, 5)
-    safe_edges = jnp.maximum(tri_edges, 0)
-
-    edge_corners = jnp.asarray(MC_EDGE_TABLE)[safe_edges]  # (N, 5, 3, 2)
-    c0 = edge_corners[..., 0]  # (N, 5, 3)
-    c1 = edge_corners[..., 1]
-
-    def gather_corner_plane(plane, idx):
-        # plane (N, 8), idx (N, 5, 3) corner ids -> (N, 5, 3)
-        return jnp.take_along_axis(
-            plane[:, None, None, :], idx[..., None], axis=-1
-        ).squeeze(-1)
-
-    p0x, p0y, p0z = (gather_corner_plane(c, c0) for c in (cx, cy, cz))
-    p1x, p1y, p1z = (gather_corner_plane(c, c1) for c in (cx, cy, cz))
 
     if config.interpolate_edges:
+        safe_edges = jnp.maximum(tri_edges, 0)
+        edge_corners = jnp.asarray(MC_EDGE_TABLE)[safe_edges]  # (N, 5, 3, 2)
+        c0 = edge_corners[..., 0]  # (N, 5, 3)
+        c1 = edge_corners[..., 1]
+
+        def gather_corner_plane(plane, idx):
+            # plane (N, 8), idx (N, 5, 3) corner ids -> (N, 5, 3)
+            return jnp.take_along_axis(
+                plane[:, None, None, :], idx[..., None], axis=-1
+            ).squeeze(-1)
+
+        p0x, p0y, p0z = (gather_corner_plane(c, c0) for c in (cx, cy, cz))
+        p1x, p1y, p1z = (gather_corner_plane(c, c1) for c in (cx, cy, cz))
         v0 = gather_corner_plane(values, c0)
         v1 = gather_corner_plane(values, c1)
         t = v0 / jnp.where(jnp.abs(v0 - v1) < 1e-12, 1.0, v0 - v1)
         t = jnp.clip(t, 0.0, 1.0)
+        vx = p0x + (p1x - p0x) * t  # (N, 5, 3)
+        vy = p0y + (p1y - p0y) * t
+        vz = p0z + (p1z - p0z) * t
     else:
-        # reference uses fixed midpoints (marching_cubes.cu:14)
-        t = 0.5
-
-    vx = p0x + (p1x - p0x) * t  # (N, 5, 3)
-    vy = p0y + (p1y - p0y) * t
-    vz = p0z + (p1z - p0z) * t
+        # reference uses fixed midpoints (marching_cubes.cu:14): the two
+        # corner lookups are pre-baked into one case-indexed offset table,
+        # replacing six per-edge gathers with one row gather by case
+        off = jnp.asarray(MC_TRI_MIDPOINT_OFFSETS)[case] * vs  # (N, 5, 3, 3)
+        vx = safe[:, 0][:, None, None] + off[..., 0]
+        vy = safe[:, 1][:, None, None] + off[..., 1]
+        vz = safe[:, 2][:, None, None] + off[..., 2]
 
     # Newton projection of every emitted vertex onto the isosurface
     # (compute_mesh_generation.cu:95-97; bounded per MeshGenConfig), on
