@@ -8,6 +8,7 @@ rendering function is genuinely discontinuous).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bsdmg_tpu.cam import generate_rays, look_at
 from bsdmg_tpu.config import MarchConfig
@@ -189,3 +190,46 @@ class TestComponentDiffRender:
                 np.asarray(ga[k]), np.asarray(gb[k]), rtol=0.05, atol=1e-4,
                 err_msg=k,
             )
+
+
+def test_gradients_match_fd_over_random_params():
+    """Stable-pixel-loss gradients (SoA component path) vs central finite
+    differences at a NON-default parameter point — the BASELINE north-star
+    check off the defaults. Silhouette pixels are excluded: the
+    collision/miss outcome flip is a step discontinuity where FD and AD
+    legitimately disagree (SURVEY §7 hard-part 3)."""
+    from bsdmg_tpu.models import reference_render_scene
+
+    scene = reference_render_scene()
+    params = dict(scene.params)
+    params["sphere_radius"] = jnp.float32(1.3)
+    params["smooth_k"] = jnp.float32(0.7)
+
+    cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+    o, d, c = generate_rays(cam, (48, 32), (1920.0, 1080.0))
+
+    base = sphere_trace(scene.bind(params), o, d, c)
+
+    def loss(p, mask):
+        img = render_image_diff(scene.sdf, p, o, d, c, csdf=scene.csdf)
+        return jnp.sum(img * mask) / jnp.sum(mask)
+
+    for key in ("sphere_radius", "smooth_k", "skeleton_line_width"):
+        eps = 1e-3
+        pp = dict(params); pp[key] = params[key] + eps
+        pm = dict(params); pm[key] = params[key] - eps
+        # exclude pixels whose OUTCOME flips under the perturbation, and
+        # pixels whose hit jumps between surfaces (frame <-> object): both
+        # are step discontinuities where FD scales ~1/eps and AD is the
+        # one-sided smooth derivative
+        hp_ = sphere_trace(scene.bind(pp), o, d, c)
+        hm_ = sphere_trace(scene.bind(pm), o, d, c)
+        mask = (
+            (base.outcome == COLLISION)
+            & (hp_.outcome == COLLISION)
+            & (hm_.outcome == COLLISION)
+            & (jnp.abs(hp_.depth - hm_.depth) < 0.05)
+        ).astype(jnp.float32)[..., None]
+        fd = (float(loss(pp, mask)) - float(loss(pm, mask))) / (2 * eps)
+        got = float(jax.grad(lambda p: loss(p, mask))(params)[key])
+        assert got == pytest.approx(fd, rel=0.1, abs=2e-3), (key, got, fd)

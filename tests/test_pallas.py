@@ -196,3 +196,32 @@ def test_mandelbulb_csdf_matches_scene():
     if len(inside):
         assert (inside >= np.asarray(bb[0]) - 1e-5).all()
         assert (inside <= np.asarray(bb[1]) + 1e-5).all()
+
+
+def test_csdf_parity_over_random_params():
+    """Both component forms (baked compiler + param-traced twin) must match
+    the points API for NON-default parameters — catches bugs that the
+    default-param goldens cannot see (e.g. factorization assumptions)."""
+    from bsdmg_tpu.models.scenes import Scene, _sd_obj, _sd_obj_c, default_object_params
+    from bsdmg_tpu.ops.pallas.csdf import reference_object_csdf
+
+    rng = np.random.RandomState(11)
+    pts = rng.uniform(-4, 4, (2048, 3)).astype(np.float32)
+    x, y, z = (jnp.asarray(pts[:, a]) for a in range(3))
+
+    for trial in range(5):
+        params = default_object_params()
+        params = dict(
+            params,
+            skeleton_center=jnp.asarray(rng.uniform(-1, 1, 3), jnp.float32),
+            skeleton_size=jnp.asarray(rng.uniform(0.3, 3.5, 3), jnp.float32),
+            skeleton_line_width=jnp.float32(rng.uniform(0.02, 0.3)),
+            sphere_radius=jnp.float32(rng.uniform(0.3, 2.0)),
+            smooth_k=jnp.float32(rng.uniform(0.1, 1.0)),
+        )
+        ref = np.asarray(_sd_obj(params, jnp.asarray(pts)))
+        twin = np.asarray(_sd_obj_c(params, x, y, z))
+        np.testing.assert_allclose(twin, ref, atol=2e-5, err_msg=f"twin trial {trial}")
+        baked = reference_object_csdf(params)
+        got = np.asarray(baked(x, y, z))
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=f"baked trial {trial}")
