@@ -47,7 +47,15 @@ def _slope_time(make_many, k1: int = 1, k2: int = 8, iters: int = 3) -> float:
             b = min(b, time.perf_counter() - t0)
         return b
 
-    return (best(k2) - best(k1)) / (k2 - k1)
+    slope = (best(k2) - best(k1)) / (k2 - k1)
+    if slope <= 0:
+        # timing jitter swallowed the workload delta; a negative/zero slope
+        # would publish a bogus (infinite) rate — fail loudly instead
+        raise RuntimeError(
+            f"non-positive slope {slope:.3e}s between k={k1} and k={k2}; "
+            "increase k2 or iters (timing jitter exceeded the workload delta)"
+        )
+    return slope
 
 
 def benchmark_render(

@@ -172,30 +172,88 @@ def cmd_mesh(args) -> None:
     log.info("wrote %s", out)
 
 
+def _motion_components(args):
+    """Motion components from CLI flags, mirroring the reference's optional
+    per-entity components (src/example_scene.rs:63-101)."""
+    from bsdmg_tpu.models.motion import (
+        AxisCyclicMotion,
+        RotateAxisMotion,
+        SphericCyclicMotion,
+    )
+
+    axis_cyclic = spheric_cyclic = rotate_axis = None
+    if args.motion == "axis":
+        axis_cyclic = AxisCyclicMotion(cycle_duration=args.cycle_duration)
+    elif args.motion == "spheric":
+        spheric_cyclic = SphericCyclicMotion(
+            cycle_durations=(args.cycle_duration,) * 3
+        )
+    if args.rotate:
+        rotate_axis = RotateAxisMotion(cycle_duration=args.cycle_duration)
+    return axis_cyclic, spheric_cyclic, rotate_axis
+
+
 def cmd_animate(args) -> None:
     import jax
 
     from bsdmg_tpu.cam import generate_rays, look_at
     from bsdmg_tpu.mesh.export import save_png
-    from bsdmg_tpu.ops.shade import render_image, to_rgba8
+    from bsdmg_tpu.ops.shade import to_rgba8
     from bsdmg_tpu.utils import get_logger
 
     log = get_logger()
     scene = _get_scene(args.scene)
-    render = _make_renderer(scene)
+
+    axis_cyclic, spheric_cyclic, rotate_axis = _motion_components(args)
+    moving = (
+        axis_cyclic is not None
+        or spheric_cyclic is not None
+        or rotate_axis is not None
+    )
+    if moving and scene.csdf is None:
+        log.warning("scene %s has no param-traced form; motion ignored", scene.name)
+        moving = False
+
+    if moving:
+        # object motion enters through params, so the frame loop re-uses one
+        # param-traced jit (no per-frame recompile) instead of the baked kernel
+        from bsdmg_tpu.models.motion import motion_params
+        from bsdmg_tpu.ops.shade import render_image_c
+
+        render_p = jax.jit(
+            lambda p, o, d, c: render_image_c(scene.csdf, p, o, d, c)
+        )
+    else:
+        render = _make_renderer(scene)
 
     radius = float(np.linalg.norm(args.camera))
     for i in range(args.frames):
-        theta = 2 * math.pi * i / args.frames
-        pos = (radius * math.cos(theta), args.camera[1], radius * math.sin(theta))
+        t = args.seconds * i / max(args.frames, 1)
+        if moving:
+            # camera holds still so the object's motion is what animates
+            pos = tuple(args.camera)
+        else:
+            theta = 2 * math.pi * i / args.frames
+            pos = (radius * math.cos(theta), args.camera[1], radius * math.sin(theta))
         cam = look_at(pos, tuple(args.target), fov=args.fov)
         origins, dirs, cone = generate_rays(
             cam, (args.width, args.height), (args.screen_width, args.screen_height)
         )
-        img = jax.block_until_ready(render(origins, dirs, cone))
+        if moving:
+            p_t = motion_params(
+                scene.params,
+                t,
+                axis_cyclic=axis_cyclic,
+                spheric_cyclic=spheric_cyclic,
+                rotate_axis=rotate_axis,
+                enable_movement=args.enable_movement,
+            )
+            img = jax.block_until_ready(render_p(p_t, origins, dirs, cone))
+        else:
+            img = jax.block_until_ready(render(origins, dirs, cone))
         path = f"{args.output or 'frame'}_{i:04d}.png"
         save_png(np.asarray(to_rgba8(img)), path)
-        log.info("frame %d/%d -> %s", i + 1, args.frames, path)
+        log.info("frame %d/%d (t=%.2fs) -> %s", i + 1, args.frames, t, path)
 
 
 def cmd_remesh(args) -> None:
@@ -307,6 +365,11 @@ def cmd_session(args) -> None:
     )
     if args.commands:
         steps = [c.strip() for c in args.commands.split(",") if c.strip()]
+        bad = [s for s in steps if s not in ("refine", "advance")]
+        if bad:
+            build_parser().error(
+                f"--commands accepts only 'refine'/'advance', got: {', '.join(bad)}"
+            )
     else:
         names = {"b": "refine", "v": "advance"}
         steps = [names[k] for k in args.keys.lower() if k in names]
@@ -379,10 +442,24 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--output", "-o", default=None)
     m.set_defaults(fn=cmd_mesh)
 
-    a = sub.add_parser("animate", help="render a camera orbit")
+    a = sub.add_parser("animate", help="render a camera orbit or object motion")
     _add_scene_arg(a)
     common_camera(a)
     a.add_argument("--frames", type=int, default=8)
+    a.add_argument(
+        "--motion", choices=["none", "axis", "spheric"], default="none",
+        help="object translation motion (reference example_scene.rs:63-101)",
+    )
+    a.add_argument(
+        "--rotate", action="store_true",
+        help="compose a RotateAxisMotion about +Y (example_scene.rs:63-67)",
+    )
+    a.add_argument("--cycle-duration", type=float, default=5.0)
+    a.add_argument("--seconds", type=float, default=5.0, help="animated time span")
+    a.add_argument(
+        "--enable-movement", action=argparse.BooleanOptionalAction, default=True,
+        help="the reference's ExampleSceneSettings.enable_movement gate (M key)",
+    )
     a.add_argument("--output", "-o", default=None)
     a.set_defaults(fn=cmd_animate)
 

@@ -144,3 +144,42 @@ class SceneSettings:
     """The reference's ``ExampleSceneSettings`` (src/example_scene.rs:156-160)."""
 
     enable_movement: bool = False
+
+
+def motion_params(
+    params: dict,
+    t,
+    *,
+    axis_cyclic: Optional[AxisCyclicMotion] = None,
+    spheric_cyclic: Optional[SphericCyclicMotion] = None,
+    rotate_axis: Optional[RotateAxisMotion] = None,
+    enable_movement: bool = True,
+) -> dict:
+    """Scene params at time ``t`` with the object's rigid transform driven
+    by the motion components.
+
+    The reference's ``apply_motion`` mutates an entity ``Transform``
+    (src/example_scene.rs:120-154); here the SDF object *is* the entity, so
+    the advanced transform lands in the ``object_center``/``object_rotation``
+    params consumed by ``models.scenes._object_space_c``. Same precedence
+    (axis-cyclic over spheric-cyclic; rotation composes independently) and
+    the same ``enable_movement`` gate."""
+    base = Transform(
+        jnp.asarray(params.get("object_center", jnp.zeros(3)), jnp.float32),
+        jnp.asarray(
+            params.get("object_rotation", jnp.asarray([1.0, 0.0, 0.0, 0.0])),
+            jnp.float32,
+        ),
+    )
+    moved = apply_motion(
+        base,
+        t,
+        axis_cyclic=axis_cyclic,
+        spheric_cyclic=spheric_cyclic,
+        rotate_axis=rotate_axis,
+        enable_movement=enable_movement,
+    )
+    out = dict(params)
+    out["object_center"] = moved.translation
+    out["object_rotation"] = moved.rotation
+    return out

@@ -58,17 +58,58 @@ def _f32(x):
 
 
 def default_object_params() -> dict:
-    """Parameters of the reference's hard-coded object (common.cu:222-226)."""
+    """Parameters of the reference's hard-coded object (common.cu:222-226).
+
+    ``object_center``/``object_rotation`` are this framework's extension: a
+    rigid transform of the whole object, driven per frame by the motion
+    system (``models.motion.apply_motion`` = src/example_scene.rs:120-154 —
+    in the reference, motion components move Bevy *entities*; here the SDF
+    object itself is the entity, so motion enters through these params).
+    The defaults are the exact identity, so all reference-parity paths are
+    bit-identical."""
     return {
         "skeleton_center": _f32([0.0, 0.0, 0.0]),
         "skeleton_size": _f32([3.0, 1.0, 0.5]),
         "skeleton_line_width": _f32(0.1),
         "sphere_radius": _f32(1.0),
         "smooth_k": _f32(0.5),
+        "object_center": _f32([0.0, 0.0, 0.0]),
+        "object_rotation": _f32([1.0, 0.0, 0.0, 0.0]),  # quat (w, x, y, z)
     }
 
 
+def _quat_inv_rotate_c(q, x, y, z):
+    """Rotate coordinate planes by the *inverse* of quaternion ``q`` (w,x,y,z).
+
+    Normalizes ``q`` first so optimizer/FD perturbations off the unit sphere
+    still denote a pure rotation. With the identity quat the rotation matrix
+    is exactly I in float32, so default params cost nothing numerically."""
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    w, qx, qy, qz = q[0], q[1], q[2], q[3]
+    # rows of R(q); inverse rotation applies R^T, i.e. columns
+    r00, r01, r02 = 1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - w * qz), 2 * (qx * qz + w * qy)
+    r10, r11, r12 = 2 * (qx * qy + w * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - w * qx)
+    r20, r21, r22 = 2 * (qx * qz - w * qy), 2 * (qy * qz + w * qx), 1 - 2 * (qx * qx + qy * qy)
+    return (
+        r00 * x + r10 * y + r20 * z,
+        r01 * x + r11 * y + r21 * z,
+        r02 * x + r12 * y + r22 * z,
+    )
+
+
+def _object_space_c(params: dict, x, y, z):
+    """Map world coordinate planes into the object's local frame."""
+    oc = params.get("object_center")
+    if oc is not None:
+        x, y, z = x - oc[0], y - oc[1], z - oc[2]
+    oq = params.get("object_rotation")
+    if oq is not None:
+        x, y, z = _quat_inv_rotate_c(oq, x, y, z)
+    return x, y, z
+
+
 def _sd_obj_c(params: dict, x, y, z, *, reference_compat: bool = True) -> jax.Array:
+    x, y, z = _object_space_c(params, x, y, z)
     a1 = sdf.sd_box_skeleton_c(
         x, y, z,
         params["skeleton_center"],
@@ -83,6 +124,8 @@ def _sd_obj_c(params: dict, x, y, z, *, reference_compat: bool = True) -> jax.Ar
 
 
 def _sd_obj(params: dict, p: jax.Array, *, reference_compat: bool = True) -> jax.Array:
+    x, y, z = _object_space_c(params, p[..., 0], p[..., 1], p[..., 2])
+    p = jnp.stack([x, y, z], axis=-1)
     a1 = sdf.sd_box_skeleton(
         p,
         params["skeleton_center"],

@@ -208,8 +208,29 @@ def min_csdf(*fs: CSdf) -> CSdf:
     return f
 
 
+def _object_transform(params):
+    """Static (translation, rotation-matrix) of the object params, or
+    ``None`` when the transform is the identity (the parity default)."""
+    oc = np.asarray(params.get("object_center", (0.0, 0.0, 0.0)), np.float64)
+    oq = np.asarray(params.get("object_rotation", (1.0, 0.0, 0.0, 0.0)), np.float64)
+    if np.allclose(oc, 0.0) and np.allclose(oq, (1.0, 0.0, 0.0, 0.0)):
+        return None
+    oq = oq / np.linalg.norm(oq)
+    w, x, y, z = oq
+    rot = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+    return oc, rot
+
+
 def reference_object_csdf(params, *, reference_compat: bool = True) -> CSdf:
-    """Component form of sd_obj (cuda/modules/common.cu:222-226)."""
+    """Component form of sd_obj (cuda/modules/common.cu:222-226), including
+    the framework's rigid object transform extension (models/scenes.py
+    ``_object_space_c``) baked as static constants."""
     center = np.asarray(params["skeleton_center"], np.float64)
     size = np.asarray(params["skeleton_size"], np.float64)
     lw = float(params["skeleton_line_width"])
@@ -218,8 +239,19 @@ def reference_object_csdf(params, *, reference_compat: bool = True) -> CSdf:
 
     skel = box_skeleton_csdf(center, size, lw, reference_compat=reference_compat)
     sph = sphere_csdf(0.0, 0.0, 0.0, r)
+    transform = _object_transform(params)
 
     def f(x, y, z):
+        if transform is not None:
+            (tx, ty, tz), rot = transform
+            x, y, z = x - float(tx), y - float(ty), z - float(tz)
+            # inverse rotation = R^T: columns of R applied as rows
+            m = [[float(v) for v in row] for row in rot.T]
+            x, y, z = (
+                m[0][0] * x + m[0][1] * y + m[0][2] * z,
+                m[1][0] * x + m[1][1] * y + m[1][2] * z,
+                m[2][0] * x + m[2][1] * y + m[2][2] * z,
+            )
         return smooth_min_c(skel(x, y, z), sph(x, y, z), k)
 
     return f
@@ -260,6 +292,20 @@ def scene_bounds(scene: Scene, params=None) -> tuple | None:
         slack = float(p["smooth_k"]) / 6.0 + 1e-3
         lo = np.minimum(pts.min(axis=0) - lw, -r) - slack
         hi = np.maximum(pts.max(axis=0) + lw, r) + slack
+        transform = _object_transform(p)
+        if transform is not None:
+            # AABB of the rotated+translated object box
+            (tx, ty, tz), rot = transform
+            corners = np.array(
+                [
+                    [(lo[0], hi[0])[i], (lo[1], hi[1])[j], (lo[2], hi[2])[k]]
+                    for i in (0, 1)
+                    for j in (0, 1)
+                    for k in (0, 1)
+                ]
+            )
+            moved = corners @ rot.T + np.array([tx, ty, tz])
+            lo, hi = moved.min(axis=0), moved.max(axis=0)
         if scene.name == "reference_render_scene":
             lo = np.minimum(lo, -2.5 - 0.05 - 1e-3)
             hi = np.maximum(hi, 2.5 + 0.05 + 1e-3)

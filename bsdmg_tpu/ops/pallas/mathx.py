@@ -47,7 +47,14 @@ def atan_c(v):
 
 
 def atan2_c(y, x):
-    """Polynomial ``atan2`` on planes (quadrant-correct, atan2(0, 0) = 0)."""
+    """Polynomial ``atan2`` on planes (quadrant-correct, atan2(0, 0) = 0).
+
+    Signed-zero/subnormal caveat: ``y < 0`` is false for ``y == -0.0`` (and
+    for negative subnormals after TPU flush-to-zero), so ``atan2_c(-0.0,
+    x < 0)`` returns ``+pi`` where IEEE atan2 returns ``-pi``. The boundary
+    set is measure-zero and irrelevant for the mandelbulb phi; documented
+    here rather than branching on ``signbit`` (which Mosaic lowers poorly).
+    """
     # the magnitude guard must preserve x's sign: flipping a tiny negative
     # x to +eps while still applying the +-pi quadrant correction returns
     # +-3pi/2 instead of +-pi/2

@@ -140,6 +140,7 @@ static char* read_whole_file(const char* path, long* out_len) {
   if (!f) return nullptr;
   fseek(f, 0, SEEK_END);
   long len = ftell(f);
+  if (len < 0) { fclose(f); return nullptr; }
   fseek(f, 0, SEEK_SET);
   char* buf = (char*)malloc((size_t)len + 1);
   if (!buf) { fclose(f); return nullptr; }

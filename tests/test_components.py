@@ -139,6 +139,64 @@ def test_apply_motion_is_jittable():
     assert np.isfinite(np.asarray(ts)).all()
 
 
+def test_motion_params_matches_formula():
+    """The animate verb's frame-t params follow the reference motion formula
+    (src/example_scene.rs:129-150) through ``motion_params``."""
+    from bsdmg_tpu.models import reference_object
+    from bsdmg_tpu.models.motion import motion_params
+
+    scene = reference_object()
+    ax = AxisCyclicMotion(center=(0.0, 0.0, 0.0), direction=(0.0, 1.0, 0.0), cycle_duration=4.0)
+    rot = RotateAxisMotion(axis=(0.0, 0.0, 1.0), cycle_duration=2.0)
+    t = 1.0
+    p = motion_params(scene.params, t, axis_cyclic=ax, rotate_axis=rot)
+    np.testing.assert_allclose(
+        np.asarray(p["object_center"]), [0.0, np.sin(2 * np.pi / 4), 0.0], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(p["object_rotation"]),
+        [np.cos(np.pi / 2), 0.0, 0.0, np.sin(np.pi / 2)],
+        atol=1e-6,
+    )
+    # the gate freezes the object exactly like ExampleSceneSettings
+    frozen = motion_params(scene.params, t, axis_cyclic=ax, enable_movement=False)
+    np.testing.assert_allclose(np.asarray(frozen["object_center"]), [0.0, 0.0, 0.0])
+
+
+def test_object_transform_moves_the_sdf():
+    """object_center / object_rotation rigidly transform the object: the
+    moved SDF equals the base SDF at inverse-transformed points, on both the
+    points API and the component (SoA) form."""
+    from bsdmg_tpu.models import reference_object
+
+    scene = reference_object()
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-3, 3, size=(64, 3)), jnp.float32)
+
+    base = scene.bind()(pts)
+
+    # pure translation
+    shift = jnp.asarray([0.4, -0.2, 0.7], jnp.float32)
+    p_t = dict(scene.params)
+    p_t["object_center"] = shift
+    moved = scene.sdf(p_t, pts + shift)
+    np.testing.assert_allclose(np.asarray(moved), np.asarray(base), atol=1e-5)
+
+    # quarter turn about +Z: world point R(p) must see the base distance
+    angle = np.pi / 2
+    quat = jnp.asarray([np.cos(angle / 2), 0.0, 0.0, np.sin(angle / 2)], jnp.float32)
+    p_r = dict(scene.params)
+    p_r["object_rotation"] = quat
+    rot = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], np.float32)
+    world = jnp.asarray(np.asarray(pts) @ rot.T)
+    moved_r = scene.sdf(p_r, world)
+    np.testing.assert_allclose(np.asarray(moved_r), np.asarray(base), atol=1e-5)
+
+    # component form agrees with the points form under the same transform
+    moved_c = scene.csdf(p_r, world[:, 0], world[:, 1], world[:, 2])
+    np.testing.assert_allclose(np.asarray(moved_c), np.asarray(moved_r), atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # session state machine (src/renderer/mod.rs:42-46,155-226)
 # ---------------------------------------------------------------------------
