@@ -134,9 +134,10 @@ def benchmark_refine(init_factor: int = 64, iters: int = 3):
 
     from bsdmg_tpu.config import MeshGenConfig
     from bsdmg_tpu.mesh import create_voxel_field
-    from bsdmg_tpu.mesh.field import _refine_jit
+    from bsdmg_tpu.mesh.field import _refine_blocked_jit, _round_capacity
     from bsdmg_tpu.models import reference_object
     from bsdmg_tpu.ops.pallas import compile_scene_csdf
+    from bsdmg_tpu.ops.refine import _BLOCK_ROWS
 
     scene = reference_object()
     sdf = scene.bind()
@@ -145,6 +146,9 @@ def benchmark_refine(init_factor: int = 64, iters: int = 3):
     field = create_voxel_field(cfg)
     lowers, count = field.lowers, jnp.int32(field.count)
     size = jnp.float32(field.voxel_size)
+    # the production path + caps refine_field would pick (mesh/field.py)
+    nb = (8 * _round_capacity(field.count)) // _BLOCK_ROWS
+    block_cap = max(64, -(-nb // 4))
 
     @functools.partial(jax.jit, static_argnames="k")
     def many(k):
@@ -152,8 +156,13 @@ def benchmark_refine(init_factor: int = 64, iters: int = 3):
         # dead-code the entire compaction and over-report throughput
         total = jnp.float32(0)
         for i in range(k):
-            out, n_new, _ = _refine_jit(sdf, lowers + 1e-7 * i, count, size, csdf)
-            total = total + jnp.sum(out) + n_new.astype(jnp.float32)
+            out, n_new, _, alive = _refine_blocked_jit(
+                sdf, lowers + 1e-7 * i, count, size, csdf, block_cap
+            )
+            total = (
+                total + jnp.sum(out) + n_new.astype(jnp.float32)
+                + alive.astype(jnp.float32)
+            )
         return total
 
     per_call = _slope_time(lambda k: float(many(k)), iters=iters)
@@ -283,17 +292,22 @@ def benchmark_scaling(width: int = 1920, height: int = 1080, iters: int = 3):
 
     def measure(devices):
         mesh = make_mesh(devices)
-        o, d, c, _ = shard_rays(origins, dirs, cone, mesh)
 
         if on_tpu:
-            # the production forward-serving path: fused kernel per chip
+            # the production forward-serving path: fused kernel per chip;
+            # block distribution/load balance is internal to the kernel
             @functools.partial(jax.jit, static_argnames="k")
             def many(k):
                 return sum(
-                    jnp.sum(render_sharded_pallas(baked, o + 1e-6 * i, d, c, mesh, bb=bb))
+                    jnp.sum(
+                        render_sharded_pallas(
+                            baked, origins + 1e-6 * i, dirs, cone, mesh, bb=bb
+                        )
+                    )
                     for i in range(k)
                 )
         else:
+            o, d, c, _ = shard_rays(origins, dirs, cone, mesh)
             @functools.partial(jax.jit, static_argnames="k")
             def many(k):
                 return sum(

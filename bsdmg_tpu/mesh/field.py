@@ -80,17 +80,34 @@ def refine_field(
 
     in_cap = _round_capacity(field.count)
     lowers = _pad_to(field.lowers, in_cap)
+    count = jnp.int32(field.count)
+    size = jnp.float32(field.voxel_size)
 
-    out, new_count, new_size = _refine_jit(
-        sdf, lowers, jnp.int32(field.count), jnp.float32(field.voxel_size), csdf
-    )
-    # shrink the 8x-inflated output to a rounded capacity: downstream passes
+    # blocked two-stage compaction (ops/refine.py::refine_step_blocked):
+    # guess a quarter of the blocks stay alive, retry larger on overflow
+    from bsdmg_tpu.ops.refine import _BLOCK_ROWS
+
+    nb = (8 * in_cap) // _BLOCK_ROWS
+    block_cap = max(64, -(-nb // 4))
+    while True:
+        out, new_count, new_size, alive = _refine_blocked_jit(
+            sdf, lowers, count, size, csdf, block_cap
+        )
+        n, a = int(new_count), int(alive)
+        if a <= block_cap:
+            break
+        if block_cap >= nb:
+            break  # full width: rows == 8N >= any survivor count
+        block_cap = min(nb, max(2 * block_cap, -(-a * 9 // 8)))
+
+    # shrink the inflated output to a rounded capacity: downstream passes
     # (marching cubes, further refines) must not pay for dead padding rows —
     # surviving voxels are O(surface area), typically a few % of 8N
-    n = int(new_count)
     cap = _round_capacity(n)
     if cap < out.shape[0]:
         out = out[:cap]
+    elif cap > out.shape[0]:
+        out = _pad_to(out, cap)
     return VoxelField(
         lowers=out,
         count=n,
@@ -112,3 +129,12 @@ def _pad_to(arr: jax.Array, capacity: int) -> jax.Array:
 @partial(jax.jit, static_argnums=(0, 4))
 def _refine_jit(sdf: SdfFn, lowers, count, voxel_size, csdf=None):
     return refine_step(sdf, lowers, count, voxel_size, csdf=csdf)
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _refine_blocked_jit(sdf: SdfFn, lowers, count, voxel_size, csdf, block_cap):
+    from bsdmg_tpu.ops.refine import refine_step_blocked
+
+    return refine_step_blocked(
+        sdf, lowers, count, voxel_size, block_cap=block_cap, csdf=csdf
+    )

@@ -517,6 +517,52 @@ def _unswizzle(plane: jax.Array, hp: int, wp: int) -> jax.Array:
     return t.reshape(hp, wp)
 
 
+def swizzled_ray_planes(
+    origins, directions, cone_radius, h: int, w: int,
+    row_granule: int = _SWIZZLED_BLOCK_ROWS,
+):
+    """Pad an (H, W) ray image to 32x32-block granules, swizzle every plane
+    into the (M, 128) block layout and pad rows to ``row_granule``.
+
+    Returns ``(o_s, d_s, cone_s, (hp, wp, m, mp))`` with ``o_s``/``d_s`` of
+    shape ``(mp, 128, 3)``. Padding rays carry origin 1e5 (instant sky via
+    the BB slab) and direction (1, 0, 0). The multi-device path uses a
+    ``row_granule`` of ``n_devices * _SWIZZLED_BLOCK_ROWS`` so the swizzled
+    rows split evenly across chips with no per-shard padding."""
+    hp = -(-h // _BLOCK) * _BLOCK
+    wp = -(-w // max(_BLOCK, TILE_L)) * max(_BLOCK, TILE_L)
+    o_p, d_p, cone_p = _pad_planes(origins, directions, cone_radius, h, w, hp, wp)
+    m = (hp // _BLOCK) * (wp // _BLOCK) * TILE_S  # live swizzled rows
+    mp = -(-m // row_granule) * row_granule
+    o_s = jnp.stack(
+        [_pad_rows(_swizzle(o_p[..., a]), mp, 1e5) for a in range(3)], axis=-1
+    )
+    d_s = jnp.stack(
+        [
+            _pad_rows(_swizzle(d_p[..., a]), mp, 1.0 if a == 0 else 0.0)
+            for a in range(3)
+        ],
+        axis=-1,
+    )
+    cone_s = _pad_rows(_swizzle(cone_p), mp, 0.0)
+    return o_s, d_s, cone_s, (hp, wp, m, mp)
+
+
+def render_swizzled(
+    csdf, o_s, d_s, cone_s, config, bb, use_bb_skip, two_phase,
+    phase_a_steps, tail_cap, interpret, omega,
+):
+    """Trace + shade pre-swizzled ``(M, 128)`` planes; returns swizzled
+    ``(r, g, b)`` planes. The per-chip body of the sharded render path."""
+    depth, steps, outcome = _trace_pipeline(
+        csdf, o_s, d_s, cone_s, config, bb, use_bb_skip, two_phase,
+        phase_a_steps, tail_cap, interpret, omega, _SWIZZLED_BLOCK_ROWS,
+    )
+    return _shade_call(
+        csdf, o_s, d_s, depth, outcome, config, interpret, _SWIZZLED_BLOCK_ROWS
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -529,37 +575,27 @@ def _render_pipeline(
     two_phase, phase_a_steps, tail_cap, interpret, h, w, omega=1.0,
     swizzle=True,
 ):
-    granule = _BLOCK if swizzle else TILE_S
-    hp = -(-h // granule) * granule
-    wp = -(-w // max(granule, TILE_L)) * max(granule, TILE_L)
-    o_p, d_p, cone_p = _pad_planes(origins, directions, cone_radius, h, w, hp, wp)
-    block_rows = TILE_S
-    m = None
     if swizzle:
-        block_rows = _SWIZZLED_BLOCK_ROWS
-        m = (hp // _BLOCK) * (wp // _BLOCK) * TILE_S  # live swizzled rows
-        mp = -(-m // block_rows) * block_rows
-        fills = (1e5, 1.0, 0.0)  # origin x / direction x / everything else
-        o_p = jnp.stack(
-            [_pad_rows(_swizzle(o_p[..., a]), mp, 1e5) for a in range(3)], axis=-1
+        o_p, d_p, cone_p, (hp, wp, m, _) = swizzled_ray_planes(
+            origins, directions, cone_radius, h, w
         )
-        d_p = jnp.stack(
-            [
-                _pad_rows(_swizzle(d_p[..., a]), mp, 1.0 if a == 0 else 0.0)
-                for a in range(3)
-            ],
-            axis=-1,
+        r, g, b = render_swizzled(
+            csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
+            phase_a_steps, tail_cap, interpret, omega,
         )
-        cone_p = _pad_rows(_swizzle(cone_p), mp, 0.0)
+        r, g, b = (_unswizzle(x[:m], hp, wp) for x in (r, g, b))
+        return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
+
+    hp = -(-h // TILE_S) * TILE_S
+    wp = -(-w // TILE_L) * TILE_L
+    o_p, d_p, cone_p = _pad_planes(origins, directions, cone_radius, h, w, hp, wp)
     depth, steps, outcome = _trace_pipeline(
         csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
-        phase_a_steps, tail_cap, interpret, omega, block_rows,
+        phase_a_steps, tail_cap, interpret, omega, TILE_S,
     )
     r, g, b = _shade_call(
-        csdf, o_p, d_p, depth, outcome, config, interpret, block_rows
+        csdf, o_p, d_p, depth, outcome, config, interpret, TILE_S
     )
-    if swizzle:
-        r, g, b = (_unswizzle(x[:m], hp, wp) for x in (r, g, b))
     return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
 
 

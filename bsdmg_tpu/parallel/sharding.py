@@ -175,6 +175,64 @@ def train_step(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("csdf", "mesh", "config", "bb", "interpret", "h", "w"),
+)
+def _render_sharded_pallas_jit(
+    csdf, origins, directions, cone_full, mesh, config, bb, interpret, h, w
+):
+    from jax.experimental.shard_map import shard_map
+
+    from bsdmg_tpu.ops.pallas.render_kernel import (
+        _SWIZZLED_BLOCK_ROWS,
+        TILE_S,
+        _unswizzle,
+        render_swizzled,
+        swizzled_ray_planes,
+    )
+
+    n = mesh.devices.size
+    granule = n * _SWIZZLED_BLOCK_ROWS
+    o_s, d_s, c_s, (hp, wp, m, mp) = swizzled_ray_planes(
+        origins, directions, cone_full, h, w, row_granule=granule
+    )
+    nblk = mp // TILE_S  # swizzle units: one 32x32 spatial block = 8 rows
+
+    def stripe(x):
+        # deal blocks round-robin across the n shards: shard i gets blocks
+        # i, i+n, i+2n, ... (a representative mix of sky and object blocks)
+        t = x.reshape(nblk // n, n, TILE_S, *x.shape[1:])
+        return t.swapaxes(0, 1).reshape(x.shape)
+
+    def unstripe(x):
+        t = x.reshape(n, nblk // n, TILE_S, *x.shape[1:])
+        return t.swapaxes(0, 1).reshape(x.shape)
+
+    o_s, d_s, c_s = stripe(o_s), stripe(d_s), stripe(c_s)
+
+    axes = tuple(mesh.axis_names)  # flatten every mesh axis onto the rows
+    spec3 = P(axes, None, None)
+    spec2 = P(axes, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec3, spec3, spec2),
+        out_specs=(spec2,) * 3,
+        check_rep=False,
+    )
+    def local(o, d, c):
+        return render_swizzled(
+            csdf, o, d, c, config, bb, bb is not None,
+            False, 32, 1024, interpret, config.relaxation,
+        )
+
+    r, g, b = local(o_s, d_s, c_s)
+    r, g, b = (_unswizzle(unstripe(x)[:m], hp, wp) for x in (r, g, b))
+    return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
+
+
 def render_sharded_pallas(
     csdf,
     origins: jax.Array,
@@ -189,35 +247,25 @@ def render_sharded_pallas(
     """Multi-device fused-kernel rendering: ``shard_map`` over the mesh with
     the single-chip Pallas render kernel inside.
 
-    Rays shard over both mesh axes (rows over "dp", columns over "sp"); the
-    scene is a compiled component SDF (params baked — the forward-serving
-    configuration). SDF evaluation is embarrassingly parallel, so there is no
-    collective inside the map: each chip traces and shades its own tile of
-    the image at full single-chip kernel speed (~586 Mrays/s/chip at 1080p on
-    v5e), which is what makes >= 80% scaling efficiency the expectation —
-    the only cross-device traffic is the initial shard placement.
+    The image is swizzled into its (M, 128) 32x32-block layout *globally*,
+    then the block rows are dealt round-robin across all chips (both mesh
+    axes flattened) — so every shard is a full-occupancy multiple of the
+    kernel's 32-row Pallas block (no per-shard swizzle padding: at 1080p the
+    old per-chip row-shard padded 135-row shards to 160 swizzle-granule rows,
+    a 19% lane tax) and gets a representative mix of cheap sky blocks and
+    expensive object blocks (the multi-chip analogue of the reference's warp
+    swizzle, common.cu:186-215). The scene is a compiled component SDF
+    (params baked — forward serving); SDF evaluation is embarrassingly
+    parallel, so the only cross-device traffic is the initial reshard.
+
+    Takes the *full* unsharded ray image (scanline order); returns the full
+    image. Load balancing is internal — do not pre-permute with
+    ``shard_rays``.
     """
-    from jax.experimental.shard_map import shard_map
-
-    from bsdmg_tpu.ops.pallas.render_kernel import render_image_pallas
-
-    ray_spec = P("dp", "sp", None)
-    plane_spec = P("dp", "sp")
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(ray_spec, ray_spec, plane_spec),
-        out_specs=ray_spec,
-        check_rep=False,
-    )
-    def local(o, d, c):
-        return render_image_pallas(
-            csdf, o, d, c, config, bb=bb, use_bb_skip=bb is not None,
-            interpret=interpret,
-        )
-
+    h, w = origins.shape[:2]
     cone_full = jnp.broadcast_to(
         jnp.asarray(cone, jnp.float32), origins.shape[:-1]
     )
-    return local(origins, directions, cone_full)
+    return _render_sharded_pallas_jit(
+        csdf, origins, directions, cone_full, mesh, config, bb, interpret, h, w
+    )
