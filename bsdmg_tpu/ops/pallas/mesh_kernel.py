@@ -1,0 +1,166 @@
+"""Pallas vertex-projection kernel for marching cubes.
+
+The reference projects every emitted MC vertex onto the isosurface with a
+data-dependent Newton loop (``closest_surface_point``,
+cuda/includes/signed_distance.cu:227-240) — on a GPU each thread loops
+independently. The round-1 TPU port ran ONE global ``while_loop`` over the
+whole vertex batch, so a single slow-converging vertex kept every lane
+iterating (the same divergence problem the render kernel solves with tiles).
+
+This kernel restores per-*tile* convergence: edge midpoints stream through
+in (32, 128) Pallas blocks (4 independent (8, 128) vregs per grid step, the
+same shape the render march settled on — one vreg per plane stalls the VPU
+on the dependent Newton chain), and each block's ``while_loop`` stops as
+soon as *its* lanes converge. Masked lanes (non-crossing edges, padding)
+start converged.
+
+Inputs/outputs are flat coordinate planes; the SDF is a baked component
+csdf (``ops.pallas.compile_scene_csdf``) — scalar constants only, which is
+what a Pallas kernel can capture.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE_L = 128
+_BLOCK_ROWS = 32  # 4 (8, 128) vregs per plane per grid step
+_CHUNK = 2  # Newton steps between cross-lane any-active reductions
+
+
+def _grad_jvp(csdf, x, y, z):
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    _, gx = jax.jvp(csdf, (x, y, z), (one, zero, zero))
+    _, gy = jax.jvp(csdf, (x, y, z), (zero, one, zero))
+    _, gz = jax.jvp(csdf, (x, y, z), (zero, zero, one))
+    return gx, gy, gz
+
+
+def _grad_fd4(csdf, x, y, z, eps):
+    def deriv(fp2, fp1, fm1, fm2):
+        return -fp2 + 8.0 * fp1 - 8.0 * fm1 + fm2
+
+    gx = deriv(
+        csdf(x + 2 * eps, y, z), csdf(x + eps, y, z),
+        csdf(x - eps, y, z), csdf(x - 2 * eps, y, z),
+    )
+    gy = deriv(
+        csdf(x, y + 2 * eps, z), csdf(x, y + eps, z),
+        csdf(x, y - eps, z), csdf(x, y - 2 * eps, z),
+    )
+    gz = deriv(
+        csdf(x, y, z + 2 * eps), csdf(x, y, z + eps),
+        csdf(x, y, z - eps), csdf(x, y, z - 2 * eps),
+    )
+    return gx, gy, gz
+
+
+def _project_kernel(csdf, iters: int, tol: float, eps: float, use_grad: bool):
+    def kernel(
+        x_ref, y_ref, z_ref, act_ref,
+        px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref,
+    ):
+        gx, gy, gz = x_ref[:], y_ref[:], z_ref[:]
+        # todo carried as int32 — recomputed bool loop-carries crash Mosaic
+        todo0 = act_ref[:]
+
+        def newton(csdf_g):
+            def step(_, carry):
+                gx, gy, gz, todo, i = carry
+                live = todo > 0
+                sd = csdf(gx, gy, gz)
+                ngx, ngy, ngz = csdf_g(gx, gy, gz)
+                inv = jax.lax.rsqrt(
+                    jnp.maximum(ngx * ngx + ngy * ngy + ngz * ngz, 1e-24)
+                )
+                gx = jnp.where(live, gx - sd * ngx * inv, gx)
+                gy = jnp.where(live, gy - sd * ngy * inv, gy)
+                gz = jnp.where(live, gz - sd * ngz * inv, gz)
+                todo = (live & (jnp.abs(sd) > tol)).astype(jnp.int32)
+                return gx, gy, gz, todo, i + 1
+
+            def cond(carry):
+                state, n_todo = carry
+                return (n_todo > 0) & (state[4] < iters)
+
+            def body(carry):
+                state = jax.lax.fori_loop(0, _CHUNK, step, carry[0])
+                return state, jnp.sum(state[3])
+
+            state0 = (gx, gy, gz, todo0, jnp.int32(0))
+            (out, *_rest), _ = jax.lax.while_loop(
+                cond, body, (state0, jnp.sum(todo0))
+            )
+            return out, _rest[0], _rest[1]
+
+        grad_fn = (
+            _grad_jvp
+            if use_grad
+            else lambda f, a, b, c: _grad_fd4(f, a, b, c, eps)
+        )
+        px, py, pz = newton(functools.partial(grad_fn, csdf))
+
+        # exported normals: the reference's fd4 stencil at the final point
+        fgx, fgy, fgz = _grad_fd4(csdf, px, py, pz, eps)
+        inv = jax.lax.rsqrt(jnp.maximum(fgx * fgx + fgy * fgy + fgz * fgz, 1e-24))
+        px_ref[:] = px
+        py_ref[:] = py
+        pz_ref[:] = pz
+        nx_ref[:] = fgx * inv
+        ny_ref[:] = fgy * inv
+        nz_ref[:] = fgz * inv
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("csdf", "iters", "tol", "eps", "use_grad", "interpret"),
+)
+def project_edges_pallas(
+    csdf, x, y, z, active, *, iters: int, tol: float, eps: float,
+    use_grad: bool = True, interpret: bool = False,
+):
+    """Newton-project flat coordinate planes onto the isosurface.
+
+    Args:
+      csdf: baked component SDF (compile-time constants only).
+      x, y, z: flat ``(M,)`` start coordinates.
+      active: flat ``(M,)`` mask (non-crossing edges / padding start done).
+
+    Returns ``(px, py, pz, nx, ny, nz)`` flat planes: projected positions
+    and fd4 unit normals at them (normals of inactive lanes are whatever the
+    stencil yields at the unprojected point — callers mask).
+    """
+    m = x.shape[0]
+    rows = -(-m // (_BLOCK_ROWS * _TILE_L)) * _BLOCK_ROWS
+    mp = rows * _TILE_L
+
+    def prep(v, fill):
+        flat = jnp.concatenate([v, jnp.full((mp - m,), fill, v.dtype)])
+        return flat.reshape(rows, _TILE_L)
+
+    xp = prep(x, 1e6)
+    yp = prep(y, 1e6)
+    zp = prep(z, 1e6)
+    ap = prep(active.astype(jnp.int32), 0)
+
+    spec = pl.BlockSpec(
+        (_BLOCK_ROWS, _TILE_L), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    f32 = jax.ShapeDtypeStruct((rows, _TILE_L), jnp.float32)
+    outs = pl.pallas_call(
+        _project_kernel(csdf, iters, tol, eps, use_grad),
+        grid=(rows // _BLOCK_ROWS,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 6,
+        out_shape=[f32] * 6,
+        interpret=interpret,
+    )(xp, yp, zp, ap)
+    return tuple(o.reshape(-1)[:m] for o in outs)

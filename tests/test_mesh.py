@@ -278,6 +278,39 @@ class TestComponentFormParity:
         )
 
 
+class TestPallasProjection:
+    def test_pallas_projection_matches_xla(self):
+        """The per-tile Pallas Newton kernel (interpret mode) must agree
+        with the whole-batch XLA oracle path on positions, normals and
+        validity — the mesh-pipeline link of the oracle chain."""
+        from bsdmg_tpu.config import MeshGenConfig
+        from bsdmg_tpu.mesh import create_voxel_field, refine_field
+        from bsdmg_tpu.models import reference_object
+        from bsdmg_tpu.ops.marching_cubes import extract_triangles
+        from bsdmg_tpu.ops.pallas import compile_scene_csdf
+
+        scene = reference_object()
+        csdf = compile_scene_csdf(scene)
+        cfg = MeshGenConfig(init_factor=8)
+        field = refine_field(scene.bind(), create_voxel_field(cfg), cfg, csdf=csdf)
+        vs = jnp.float32(field.voxel_size)
+        cnt = jnp.int32(field.count)
+        a = extract_triangles(
+            scene.bind(), field.lowers, vs, cnt, cfg, csdf, use_pallas=False
+        )
+        b = extract_triangles(
+            scene.bind(), field.lowers, vs, cnt, cfg, csdf,
+            use_pallas=True, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        np.testing.assert_allclose(
+            np.asarray(a.positions), np.asarray(b.positions), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.normals), np.asarray(b.normals), atol=2e-4
+        )
+
+
 class TestMeshQuality:
     def test_extracted_mesh_is_watertight_and_on_surface(self):
         """Closed-surface extraction: every edge shared by exactly 2 faces
