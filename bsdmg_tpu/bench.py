@@ -89,13 +89,15 @@ def benchmark_render(
 
     if use_pallas:
         from bsdmg_tpu.ops.pallas import compile_scene_csdf
-        from bsdmg_tpu.ops.pallas.csdf import scene_bounds
+        from bsdmg_tpu.ops.pallas.csdf import compile_scene_split, scene_bounds
         from bsdmg_tpu.ops.pallas.render_kernel import render_image_pallas
 
         csdf = compile_scene_csdf(scene)
         bb = scene_bounds(scene)
+        split = compile_scene_split(scene)
         render_i = lambda i: render_image_pallas(
-            csdf, origins + 1e-6 * i, dirs, cone, bb=bb, two_phase=False
+            csdf, origins + 1e-6 * i, dirs, cone, bb=bb, two_phase=False,
+            split=split,
         )
     else:
         sdf = scene.bind()
@@ -117,6 +119,41 @@ def benchmark_render(
         "width": width,
         "height": height,
         "pallas": bool(use_pallas),
+    }
+
+
+def render_step_stats(width: int = 1920, height: int = 1080) -> dict[str, Any]:
+    """Measured step-count statistics of the reference-scene trace.
+
+    Replaces the hand-maintained ``avg_steps`` constant in the roofline
+    (utils/profiling.py): pulls the kernel's own steps plane and reports the
+    per-ray mean, the mean of per-(8,128)-tile maxima (what the
+    tile-synchronized march actually executes), and the max.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bsdmg_tpu.cam import generate_rays, look_at
+    from bsdmg_tpu.models import reference_render_scene
+    from bsdmg_tpu.ops.pallas import compile_scene_csdf
+    from bsdmg_tpu.ops.pallas.csdf import compile_scene_split, scene_bounds
+    from bsdmg_tpu.ops.pallas.render_kernel import trace_pallas
+
+    scene = reference_render_scene()
+    cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+    origins, dirs, cone = generate_rays(cam, (width, height), (1920.0, 1080.0))
+    csdf = compile_scene_csdf(scene)
+    bb = scene_bounds(scene)
+    _, steps, _ = trace_pallas(csdf, origins, dirs, cone, bb=bb)
+    s = np.asarray(steps, np.float64)
+    hp = (height // 8) * 8
+    wp = (width // 128) * 128
+    tiles = s[:hp, :wp].reshape(hp // 8, 8, wp // 128, 128)
+    tile_max = tiles.max(axis=(1, 3))
+    return {
+        "mean_steps": float(s.mean()),
+        "mean_tile_max_steps": float(tile_max.mean()),
+        "max_steps": float(s.max()),
     }
 
 
@@ -232,9 +269,16 @@ def benchmark_render_grad(width: int = 512, height: int = 512, iters: int = 3):
     origins, dirs, cone = generate_rays(cam, (width, height), (1920.0, 1080.0))
     target = jnp.zeros((height, width, 3), jnp.float32)
 
+    # sky slab skip with a conservative param trust region (bounds at the
+    # default params, inflated 25% — what a fit caller would pass)
+    from bsdmg_tpu.ops.pallas.csdf import scene_bounds
+
+    lo, hi = scene_bounds(scene)
+    bb = (tuple(v - 0.25 for v in lo), tuple(v + 0.25 for v in hi))
+
     def loss(p, i):
         img = render_image_diff(
-            scene.sdf, p, origins + 1e-7 * i, dirs, cone, csdf=scene.csdf
+            scene.sdf, p, origins + 1e-7 * i, dirs, cone, csdf=scene.csdf, bb=bb
         )
         return jnp.mean((img - target) ** 2)
 
@@ -284,11 +328,12 @@ def benchmark_scaling(width: int = 1920, height: int = 1080, iters: int = 3):
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         from bsdmg_tpu.ops.pallas import compile_scene_csdf
-        from bsdmg_tpu.ops.pallas.csdf import scene_bounds
+        from bsdmg_tpu.ops.pallas.csdf import compile_scene_split, scene_bounds
         from bsdmg_tpu.parallel.sharding import render_sharded_pallas
 
         baked = compile_scene_csdf(scene)
         bb = scene_bounds(scene)
+        split = compile_scene_split(scene)
 
     def measure(devices):
         mesh = make_mesh(devices)
@@ -301,7 +346,8 @@ def benchmark_scaling(width: int = 1920, height: int = 1080, iters: int = 3):
                 return sum(
                     jnp.sum(
                         render_sharded_pallas(
-                            baked, origins + 1e-6 * i, dirs, cone, mesh, bb=bb
+                            baked, origins + 1e-6 * i, dirs, cone, mesh,
+                            bb=bb, split=split,
                         )
                     )
                     for i in range(k)

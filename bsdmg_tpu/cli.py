@@ -62,13 +62,16 @@ def _make_renderer(scene, prefer_pallas: bool | None = None):
         prefer_pallas = jax.default_backend() == "tpu"
     if prefer_pallas:
         from bsdmg_tpu.ops.pallas import compile_scene_csdf
-        from bsdmg_tpu.ops.pallas.csdf import scene_bounds
+        from bsdmg_tpu.ops.pallas.csdf import compile_scene_split, scene_bounds
         from bsdmg_tpu.ops.pallas.render_kernel import render_image_pallas
 
         csdf = compile_scene_csdf(scene)
         if csdf is not None:
             bb = scene_bounds(scene)
-            return lambda o, d, c: render_image_pallas(csdf, o, d, c, bb=bb)
+            split = compile_scene_split(scene)
+            return lambda o, d, c: render_image_pallas(
+                csdf, o, d, c, bb=bb, split=split
+            )
     sdf = scene.bind()
     return jax.jit(lambda o, d, c: render_image(sdf, o, d, c))
 
@@ -380,34 +383,63 @@ def cmd_session(args) -> None:
 
 
 def cmd_bench(args) -> None:
+    import contextlib
+
     from bsdmg_tpu.bench import (
         benchmark_marching_cubes,
         benchmark_refine,
         benchmark_render,
     )
 
+    # --trace: capture a jax.profiler xplane around the benched region —
+    # the app-level analogue of the reference's cuProfilerStart + nvtx
+    # scoping (src/main.rs:37, src/cuda/mod.rs:354-370)
+    ctx = contextlib.nullcontext()
+    if args.trace:
+        from bsdmg_tpu.utils.profiling import trace
+
+        ctx = trace(args.trace)
+
     results = {}
-    if args.which in ("all", "render"):
-        r = benchmark_render(args.width, args.height)
-        results["render"] = {
-            "rays_per_s": r["rays_per_s"],
-            "ms_per_frame": r["seconds_per_frame"] * 1e3,
-        }
-    if args.which in ("all", "refine"):
-        r = benchmark_refine()
-        results["refine"] = {"voxels_per_s": r["voxels_per_s"]}
-    if args.which in ("all", "mc"):
-        r = benchmark_marching_cubes()
-        results["marching_cubes"] = {"voxels_per_s": r["voxels_per_s"]}
-    if args.which in ("all", "grad"):
-        from bsdmg_tpu.bench import benchmark_render_grad
+    with ctx:
+        if args.which in ("all", "render"):
+            r = benchmark_render(args.width, args.height)
+            results["render"] = {
+                "rays_per_s": r["rays_per_s"],
+                "ms_per_frame": r["seconds_per_frame"] * 1e3,
+            }
+            if args.roofline:
+                from bsdmg_tpu.bench import render_step_stats
+                from bsdmg_tpu.utils.profiling import render_roofline
 
-        r = benchmark_render_grad()
-        results["render_grad"] = {"rays_per_s": r["rays_per_s"]}
-    if args.which == "scaling":
-        from bsdmg_tpu.bench import benchmark_scaling
+                stats = render_step_stats(args.width, args.height)
+                roof = render_roofline(
+                    args.width, args.height,
+                    avg_steps=stats["mean_tile_max_steps"],
+                )
+                results["roofline"] = {
+                    **stats,
+                    "speed_of_light_ms": roof.seconds * 1e3,
+                    "pct_of_roofline": 100.0
+                    * roof.efficiency(r["seconds_per_frame"]),
+                }
+        if args.which in ("all", "refine"):
+            r = benchmark_refine()
+            results["refine"] = {"voxels_per_s": r["voxels_per_s"]}
+        if args.which in ("all", "mc"):
+            r = benchmark_marching_cubes()
+            results["marching_cubes"] = {"voxels_per_s": r["voxels_per_s"]}
+        if args.which in ("all", "grad"):
+            from bsdmg_tpu.bench import benchmark_render_grad
 
-        results["scaling"] = benchmark_scaling(args.width, args.height)
+            r = benchmark_render_grad()
+            results["render_grad"] = {"rays_per_s": r["rays_per_s"]}
+        if args.which == "scaling":
+            from bsdmg_tpu.bench import benchmark_scaling
+
+            results["scaling"] = benchmark_scaling(args.width, args.height)
+    if args.trace:
+        results["trace_dir"] = args.trace
     print(json.dumps(results, indent=2))
 
 
@@ -492,6 +524,14 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--which", choices=["all", "render", "refine", "mc", "grad", "scaling"], default="all")
     b.add_argument("--width", type=int, default=1920)
     b.add_argument("--height", type=int, default=1080)
+    b.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler xplane of the benched region into DIR",
+    )
+    b.add_argument(
+        "--roofline", action="store_true",
+        help="with render: print measured step stats + %% of speed-of-light",
+    )
     b.set_defaults(fn=cmd_bench)
 
     return p

@@ -104,6 +104,7 @@ def render_image_diff(
     cone_radius: jax.Array,
     config: MarchConfig = MarchConfig(),
     csdf=None,
+    bb: tuple | None = None,
 ) -> jax.Array:
     """Differentiable render: linear RGB ``(..., 3)`` with gradients flowing
     to ``params`` through hit depth and shading normals.
@@ -111,10 +112,12 @@ def render_image_diff(
     ``csdf`` — the scene's component-form twin ``f(params, x, y, z)``
     (``Scene.csdf``) — switches to the SoA path: coordinate planes instead
     of (..., 3) points, full TPU lane occupancy, same math (~10-20x faster).
+    ``bb`` (optional, SoA path) enables the sky slab skip — supply bounds
+    covering the surface over the optimization's whole parameter range.
     """
     if csdf is not None:
         return _render_image_diff_c(
-            csdf, params, origins, directions, cone_radius, config
+            csdf, params, origins, directions, cone_radius, config, bb=bb
         )
     t_diff, hit = differentiable_hit(
         scene, params, origins, directions, cone_radius, config
@@ -130,12 +133,23 @@ def _render_image_diff_c(
     directions: jax.Array,
     cone_radius: jax.Array,
     config: MarchConfig = MarchConfig(),
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+    bb: tuple | None = None,
 ) -> jax.Array:
     """Component-form differentiable render (same semantics as the points
-    path; gradients via the implicit function theorem at the hit)."""
+    path; gradients via the implicit function theorem at the hit).
+
+    The stopped forward march runs in the SMEM-parameter Pallas kernel on
+    TPU (ops/pallas/diff_kernel.py) — the march carries no gradients (IFT
+    reattachment below), so the kernel needs no AD rule. ``bb`` (optional)
+    turns on the sky slab skip; it must conservatively bound the surface
+    over the whole parameter trust region of the optimization."""
     from bsdmg_tpu.ops.pallas.render_kernel import _march
     from bsdmg_tpu.sdf.normals import normal_jvp_c
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and origins.ndim == 3
     batch = origins.shape[:-1]
     cone = jnp.broadcast_to(jnp.asarray(cone_radius, jnp.float32), batch)
     ox, oy, oz = origins[..., 0], origins[..., 1], origins[..., 2]
@@ -144,11 +158,19 @@ def _render_image_diff_c(
     stopped = jax.tree.map(jax.lax.stop_gradient, params)
     f0 = lambda x, y, z: csdf(stopped, x, y, z)
 
-    depth, steps, outcome, _ = _march(
-        f0, config, (ox, oy, oz), (dx, dy, dz), cone,
-        jnp.ones(batch, bool), jnp.zeros(batch, jnp.float32),
-        jnp.zeros(batch, jnp.int32), config.step_limit,
-    )
+    if use_pallas:
+        from bsdmg_tpu.ops.pallas.diff_kernel import march_params_pallas
+
+        depth, steps, outcome = march_params_pallas(
+            csdf, stopped, origins, directions, cone, config,
+            bb=bb, interpret=interpret,
+        )
+    else:
+        depth, steps, outcome, _ = _march(
+            f0, config, (ox, oy, oz), (dx, dy, dz), cone,
+            jnp.ones(batch, bool), jnp.zeros(batch, jnp.float32),
+            jnp.zeros(batch, jnp.int32), config.step_limit,
+        )
     t0 = jax.lax.stop_gradient(depth)
     px, py, pz = ox + t0 * dx, oy + t0 * dy, oz + t0 * dz
 
@@ -164,8 +186,15 @@ def _render_image_diff_c(
     t_diff = jnp.where(collided, t_diff, t0)
 
     qx, qy, qz = ox + t_diff * dx, oy + t_diff * dy, oz + t_diff * dz
-    f_live = lambda x, y, z: csdf(params, x, y, z)
-    nx, ny, nz = normal_jvp_c(f_live, qx, qy, qz)
+    # shading normal via ONE reverse-mode pass (pixels are independent, so
+    # grad-of-sum gives every pixel's spatial gradient in ~3 eval-equivalents
+    # vs normal_jvp_c's three forward passes; still differentiable w.r.t.
+    # params for the backward)
+    gx, gy, gz = jax.grad(
+        lambda x, y, z: jnp.sum(csdf(params, x, y, z)), argnums=(0, 1, 2)
+    )(qx, qy, qz)
+    inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-24))
+    nx, ny, nz = gx * inv, gy * inv, gz * inv
 
     from bsdmg_tpu.ops.shade import shade_planes
 

@@ -84,8 +84,12 @@ def _quat_inv_rotate_c(q, x, y, z):
     Normalizes ``q`` first so optimizer/FD perturbations off the unit sphere
     still denote a pure rotation. With the identity quat the rotation matrix
     is exactly I in float32, so default params cost nothing numerically."""
-    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
-    w, qx, qy, qz = q[0], q[1], q[2], q[3]
+    if not isinstance(q, (tuple, list)):
+        q = (q[0], q[1], q[2], q[3])
+    inv = jax.lax.rsqrt(
+        jnp.maximum(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3], 1e-24)
+    )
+    w, qx, qy, qz = q[0] * inv, q[1] * inv, q[2] * inv, q[3] * inv
     # rows of R(q); inverse rotation applies R^T, i.e. columns
     r00, r01, r02 = 1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - w * qz), 2 * (qx * qz + w * qy)
     r10, r11, r12 = 2 * (qx * qy + w * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - w * qx)
@@ -117,9 +121,8 @@ def _sd_obj_c(params: dict, x, y, z, *, reference_compat: bool = True) -> jax.Ar
         params["skeleton_line_width"],
         reference_compat=reference_compat,
     )
-    a2 = sdf.sd_sphere_c(
-        x, y, z, params["skeleton_center"] * 0.0, params["sphere_radius"]
-    )
+    # the reference's sphere is pinned at the origin (common.cu:224)
+    a2 = sdf.sd_sphere_c(x, y, z, (0.0, 0.0, 0.0), params["sphere_radius"])
     return sdf.smooth_min(a1, a2, params["smooth_k"])
 
 
@@ -133,7 +136,7 @@ def _sd_obj(params: dict, p: jax.Array, *, reference_compat: bool = True) -> jax
         params["skeleton_line_width"],
         reference_compat=reference_compat,
     )
-    a2 = sdf.sd_sphere(p, params["skeleton_center"] * 0.0, params["sphere_radius"])
+    a2 = sdf.sd_sphere(p, jnp.zeros(3, jnp.float32), params["sphere_radius"])
     return sdf.smooth_min(a1, a2, params["smooth_k"])
 
 

@@ -36,11 +36,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bsdmg_tpu.config import MarchConfig
-from bsdmg_tpu.ops.pallas.trace_kernel import TILE_L, TILE_S, _pad2
 from bsdmg_tpu.ops.shade import COLOR_HIGH, COLOR_LOW, _ACES_M1, _ACES_M2
-from bsdmg_tpu.ops.trace import COLLISION, DEPTH_LIMIT, STEP_LIMIT
+from bsdmg_tpu.ops.trace import COLLISION, DEPTH_LIMIT, STEP_LIMIT, RayMarchHit
+
+TILE_S = 8  # sublanes (f32 native)
+TILE_L = 128  # lanes
 
 _LIGHT = (1.0 / np.sqrt(3.0),) * 3  # normalize(vec3(1,1,1)), compute_render.cu:67
+
+
+def _pad2(a: jax.Array, h: int, w: int, value) -> jax.Array:
+    ph, pw = h - a.shape[0], w - a.shape[1]
+    if ph == 0 and pw == 0:
+        return a
+    return jnp.pad(a, ((0, ph), (0, pw)), constant_values=value)
 
 
 # ---------------------------------------------------------------------------
@@ -68,11 +77,47 @@ def _slab_enter(ox, oy, oz, dx, dy, dz, lo, hi, margin):
     tmax = jnp.minimum(fx, jnp.minimum(fy, fz))
     t_enter = jnp.maximum(tmin, 0.0)
     miss = tmax < t_enter
-    return miss, t_enter
+    return miss, t_enter, jnp.maximum(tmax, 0.0)
+
+
+def _slab_cull(ox, oy, oz, dx, dy, dz, lo, hi, cone, config: MarchConfig,
+               slack: float = 0.1):
+    """Tight conservative box cull: can this ray ever collide with a surface
+    inside [lo, hi]^3?
+
+    A collision at ray parameter t needs ``f <= cone*t + eps`` and
+    ``f >= |p(t) - c| - r - slack >= t - D - r - slack`` (c box center, r its
+    half-diagonal, D = |origin - c|), so every collision has
+    ``t <= T* = (D + r + slack + eps) / (1 - cone)`` and the colliding ray
+    must pierce the box inflated by ``cone*T* + eps + slack``. At the
+    reference operating point T* ~ 11 vs depth limit 500 — a 40x tighter
+    inflation (~0.012 vs 0.5), recovering the band of tiles around every
+    silhouette that used to march only because of margin slop. The returned
+    ``t_exit`` is therefore also a sound per-ray *stop* depth: beyond it no
+    collision is possible at any t. ``slack`` absorbs SDF under-estimation
+    (smooth-min k/6).
+    """
+    eps = config.collision_distance
+    cx = (lo[0] + hi[0]) * 0.5
+    cy = (lo[1] + hi[1]) * 0.5
+    cz = (lo[2] + hi[2]) * 0.5
+    r = 0.5 * float(
+        np.sqrt(
+            (hi[0] - lo[0]) ** 2 + (hi[1] - lo[1]) ** 2 + (hi[2] - lo[2]) ** 2
+        )
+    )
+    ex, ey, ez = ox - cx, oy - cy, oz - cz
+    reach = jnp.sqrt(ex * ex + ey * ey + ez * ez) + r + slack + eps
+    t_star = jnp.where(
+        cone < 0.5, reach / jnp.maximum(1.0 - cone, 0.5), config.depth_limit
+    )
+    margin = cone * jnp.minimum(t_star, config.depth_limit) + eps + slack
+    miss, t_enter, t_exit = _slab_enter(ox, oy, oz, dx, dy, dz, lo, hi, margin)
+    return miss, t_enter, t_exit
 
 
 def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budget,
-           chunk: int = 8, omega: float = 1.0):
+           chunk: int = 8, omega: float = 1.0, t_stop=None):
     """March loop on planes. Returns (depth, steps, outcome, active).
 
     ``steps0`` carries prior progress (phase B resumes phase A's counter);
@@ -94,6 +139,11 @@ def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budge
     relax = float(omega) > 1.0
     ox, oy, oz = o
     dx, dy, dz = d
+    # a ray past t_stop can never collide (the whole scene sits inside the
+    # caller's slab, exited at t_stop) — declare DepthLimit right there
+    # instead of sphere-tracing empty space out to depth 500 (same outcome
+    # the reference reaches, ~10 steps later: ray_marching.cu:37-40)
+    limit = config.depth_limit if t_stop is None else t_stop
 
     def sample(depth):
         # positions are derived from depth (2 fma/axis) instead of carried
@@ -101,7 +151,7 @@ def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budge
         return csdf(ox + depth * dx, oy + depth * dy, oz + depth * dz)
 
     def finish(advance, depth, steps, outcome):
-        over = advance & (depth > config.depth_limit)
+        over = advance & (depth > limit)
         outcome = jnp.where(over, DEPTH_LIMIT, outcome)
         survived = advance & ~over
         steps = jnp.where(survived, steps + 1, steps)
@@ -231,12 +281,13 @@ def _aces_plane(r, g, b):
 
 
 def _trace_kernel(csdf, config: MarchConfig, bb, use_bb_skip: bool, budget: int,
-                  omega: float = 1.0):
+                  omega: float = 1.0, split=None, shade: bool = False):
     def kernel(
         ox_ref, oy_ref, oz_ref,
         dx_ref, dy_ref, dz_ref,
         cone_ref, depth0_ref, steps0_ref, active0_ref,
         depth_ref, steps_ref, outcome_ref, active_ref,
+        *shade_refs,
     ):
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -246,24 +297,82 @@ def _trace_kernel(csdf, config: MarchConfig, bb, use_bb_skip: bool, budget: int,
         depth0 = depth0_ref[:]
         steps0 = steps0_ref[:]
 
+        t_stop = None
         if use_bb_skip and bb is not None:
-            # worst-case collision threshold along the ray plus slack for the
-            # smooth-min under-estimate near the box (see csdf.scene_bounds)
-            margin = cone * config.depth_limit + config.collision_distance + 0.1
-            miss, t_enter = _slab_enter(ox, oy, oz, dx, dy, dz, bb[0], bb[1], margin)
+            miss, _, t_exit = _slab_cull(
+                ox, oy, oz, dx, dy, dz, bb[0], bb[1], cone, config
+            )
             skip = active0 & miss
             active0 = active0 & ~miss
-            depth0 = jnp.where(active0, jnp.maximum(depth0, t_enter), depth0)
+            # NOTE: no fast-forward to t_enter — the reference marches from
+            # t=0 (ray_marching.cu:14) and a different start lands the hit
+            # elsewhere inside the cone acceptance window, breaking
+            # pixel-exact parity with the no-skip path for a handful of
+            # approach steps saved.
             depth0 = jnp.where(skip, config.depth_limit * 1.01, depth0)
+            t_stop = jnp.minimum(t_exit, config.depth_limit)
 
-        depth, steps, outcome, unresolved = _march(
-            csdf, config, (ox, oy, oz), (dx, dy, dz), cone,
-            active0, depth0, steps0, budget, omega=omega,
-        )
-        depth_ref[:] = depth
-        steps_ref[:] = steps
-        outcome_ref[:] = outcome
-        active_ref[:] = unresolved.astype(jnp.int32)
+        def run(scene_fn):
+            depth, steps, outcome, unresolved = _march(
+                scene_fn, config, (ox, oy, oz), (dx, dy, dz), cone,
+                active0, depth0, steps0, budget, omega=omega, t_stop=t_stop,
+            )
+            depth_ref[:] = depth
+            steps_ref[:] = steps
+            outcome_ref[:] = outcome
+            active_ref[:] = unresolved.astype(jnp.int32)
+            if shade:
+                # fused epilogue: planes are still in registers, and far-only
+                # tiles get exact normals from the cheap far scene (any hit
+                # there is > margin >> 2*eps away from the near component, so
+                # the fd4 stencil never sees it)
+                from bsdmg_tpu.ops.shade import shade_planes
+
+                r_ref, g_ref, b_ref = shade_refs
+                collided = outcome == COLLISION
+                any_collision = jnp.sum(collided.astype(jnp.int32)) > 0
+                white = (outcome == STEP_LIMIT).astype(jnp.float32)
+
+                @pl.when(any_collision)
+                def _():
+                    px = ox + depth * dx
+                    py = oy + depth * dy
+                    pz = oz + depth * dz
+                    nx, ny, nz = _fd_normal(
+                        scene_fn, px, py, pz, config.normal_epsilon
+                    )
+                    rr, gg, bbv = shade_planes(nx, ny, nz, outcome)
+                    r_ref[:] = rr
+                    g_ref[:] = gg
+                    b_ref[:] = bbv
+
+                @pl.when(~any_collision)
+                def _():
+                    rr, gg, bbv = _aces_plane(white, white, white)
+                    r_ref[:] = rr
+                    g_ref[:] = gg
+                    b_ref[:] = bbv
+
+        if split is None:
+            run(csdf)
+        else:
+            # per-tile scene specialization (compile_scene_split): tiles
+            # whose rays all stay > collision threshold away from the near
+            # component's inflated slab sphere-trace the far scene alone —
+            # an exact trace of the only surface those rays can reach.
+            far_csdf, (nlo, nhi) = split
+            n_miss, _, _ = _slab_cull(
+                ox, oy, oz, dx, dy, dz, nlo, nhi, cone, config
+            )
+            any_near = jnp.sum((active0 & ~n_miss).astype(jnp.int32)) > 0
+
+            @pl.when(any_near)
+            def _():
+                run(csdf)
+
+            @pl.when(~any_near)
+            def _():
+                run(far_csdf)
 
     return kernel
 
@@ -314,17 +423,17 @@ def _tile_spec(block_rows: int = TILE_S):
     jax.jit,
     static_argnames=(
         "csdf", "config", "bb", "use_bb_skip", "budget", "omega", "interpret",
-        "block_rows",
+        "block_rows", "split",
     ),
 )
 def _trace_call(csdf, o, d, cone, depth0, steps0, active0, config, bb, use_bb_skip,
-                budget, interpret, omega=1.0, block_rows=TILE_S):
+                budget, interpret, omega=1.0, block_rows=TILE_S, split=None):
     h, w = cone.shape
     spec = _tile_spec(block_rows)
     f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
     i32 = jax.ShapeDtypeStruct((h, w), jnp.int32)
     return pl.pallas_call(
-        _trace_kernel(csdf, config, bb, use_bb_skip, budget, omega),
+        _trace_kernel(csdf, config, bb, use_bb_skip, budget, omega, split),
         grid=(h // block_rows, w // TILE_L),
         in_specs=[spec] * 10,
         out_specs=[spec] * 4,
@@ -335,6 +444,41 @@ def _trace_call(csdf, o, d, cone, depth0, steps0, active0, config, bb, use_bb_sk
         d[..., 0], d[..., 1], d[..., 2],
         cone, depth0, steps0, active0,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "csdf", "config", "bb", "use_bb_skip", "omega", "interpret",
+        "block_rows", "split",
+    ),
+)
+def _render_fused_call(csdf, o, d, cone, config, bb, use_bb_skip,
+                       interpret, omega=1.0, block_rows=TILE_S, split=None):
+    """Single-dispatch trace + shade (the default single-phase path): one
+    kernel writes depth/steps/outcome AND the shaded r/g/b planes, avoiding
+    the separate shade kernel's HBM re-read of six ray planes."""
+    h, w = cone.shape
+    spec = _tile_spec(block_rows)
+    f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((h, w), jnp.int32)
+    zero_f = jnp.zeros((h, w), jnp.float32)
+    zero_i = jnp.zeros((h, w), jnp.int32)
+    ones_i = jnp.ones((h, w), jnp.int32)
+    outs = pl.pallas_call(
+        _trace_kernel(csdf, config, bb, use_bb_skip, 10**9, omega, split,
+                      shade=True),
+        grid=(h // block_rows, w // TILE_L),
+        in_specs=[spec] * 10,
+        out_specs=[spec] * 7,
+        out_shape=[f32, i32, i32, i32, f32, f32, f32],
+        interpret=interpret,
+    )(
+        o[..., 0], o[..., 1], o[..., 2],
+        d[..., 0], d[..., 1], d[..., 2],
+        cone, zero_f, zero_i, ones_i,
+    )
+    return outs[4], outs[5], outs[6]
 
 
 @functools.partial(
@@ -415,12 +559,13 @@ def _scatter_back(idx, full, tail):
     jax.jit,
     static_argnames=(
         "csdf", "config", "bb", "use_bb_skip", "two_phase", "phase_a_steps",
-        "tail_cap", "interpret", "omega", "block_rows",
+        "tail_cap", "interpret", "omega", "block_rows", "split",
     ),
 )
 def _trace_pipeline(
     csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
     phase_a_steps, tail_cap, interpret, omega=1.0, block_rows=TILE_S,
+    split=None,
 ):
     hp, wp = cone_p.shape
     zero_f = jnp.zeros((hp, wp), jnp.float32)
@@ -430,7 +575,7 @@ def _trace_pipeline(
     budget = phase_a_steps if two_phase else 10**9
     depth, steps, outcome, active = _trace_call(
         csdf, o_p, d_p, cone_p, zero_f, zero_i, ones_i,
-        config, bb, use_bb_skip, budget, interpret, omega, block_rows,
+        config, bb, use_bb_skip, budget, interpret, omega, block_rows, split,
     )
 
     if not two_phase:
@@ -550,13 +695,19 @@ def swizzled_ray_planes(
 
 def render_swizzled(
     csdf, o_s, d_s, cone_s, config, bb, use_bb_skip, two_phase,
-    phase_a_steps, tail_cap, interpret, omega,
+    phase_a_steps, tail_cap, interpret, omega, split=None,
 ):
     """Trace + shade pre-swizzled ``(M, 128)`` planes; returns swizzled
     ``(r, g, b)`` planes. The per-chip body of the sharded render path."""
+    if not two_phase:
+        return _render_fused_call(
+            csdf, o_s, d_s, cone_s, config, bb, use_bb_skip, interpret,
+            omega, _SWIZZLED_BLOCK_ROWS, split,
+        )
     depth, steps, outcome = _trace_pipeline(
         csdf, o_s, d_s, cone_s, config, bb, use_bb_skip, two_phase,
         phase_a_steps, tail_cap, interpret, omega, _SWIZZLED_BLOCK_ROWS,
+        split,
     )
     return _shade_call(
         csdf, o_s, d_s, depth, outcome, config, interpret, _SWIZZLED_BLOCK_ROWS
@@ -567,13 +718,13 @@ def render_swizzled(
     jax.jit,
     static_argnames=(
         "csdf", "config", "bb", "use_bb_skip", "two_phase", "phase_a_steps",
-        "tail_cap", "interpret", "h", "w", "omega", "swizzle",
+        "tail_cap", "interpret", "h", "w", "omega", "swizzle", "split",
     ),
 )
 def _render_pipeline(
     csdf, origins, directions, cone_radius, config, bb, use_bb_skip,
     two_phase, phase_a_steps, tail_cap, interpret, h, w, omega=1.0,
-    swizzle=True,
+    swizzle=True, split=None,
 ):
     if swizzle:
         o_p, d_p, cone_p, (hp, wp, m, _) = swizzled_ray_planes(
@@ -581,7 +732,7 @@ def _render_pipeline(
         )
         r, g, b = render_swizzled(
             csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
-            phase_a_steps, tail_cap, interpret, omega,
+            phase_a_steps, tail_cap, interpret, omega, split,
         )
         r, g, b = (_unswizzle(x[:m], hp, wp) for x in (r, g, b))
         return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
@@ -591,7 +742,7 @@ def _render_pipeline(
     o_p, d_p, cone_p = _pad_planes(origins, directions, cone_radius, h, w, hp, wp)
     depth, steps, outcome = _trace_pipeline(
         csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
-        phase_a_steps, tail_cap, interpret, omega, TILE_S,
+        phase_a_steps, tail_cap, interpret, omega, TILE_S, split,
     )
     r, g, b = _shade_call(
         csdf, o_p, d_p, depth, outcome, config, interpret, TILE_S
@@ -636,6 +787,30 @@ def trace_pallas(
     return depth[:h, :w], steps[:h, :w], outcome[:h, :w]
 
 
+def sphere_trace_pallas(
+    csdf: Callable,
+    origins: jax.Array,
+    directions: jax.Array,
+    cone_radius,
+    config: MarchConfig = MarchConfig(),
+    *,
+    interpret: bool = False,
+) -> RayMarchHit:
+    """Pallas sphere tracer over an ``(H, W)`` ray image, returning the
+    pure-tracer's :class:`RayMarchHit` structure (semantics identical to
+    ``bsdmg_tpu.ops.trace.sphere_trace``).
+
+    A thin wrapper over the fused kernel's march (``trace_pallas``) — round
+    1 kept a second, position-carrying march implementation for this API;
+    positions are derived from depth instead (one march source of truth)."""
+    depth, steps, outcome = trace_pallas(
+        csdf, origins, directions, cone_radius, config,
+        bb=None, use_bb_skip=False, two_phase=False, interpret=interpret,
+    )
+    position = origins + depth[..., None] * directions
+    return RayMarchHit(steps=steps, position=position, depth=depth, outcome=outcome)
+
+
 def render_image_pallas(
     csdf: Callable,
     origins: jax.Array,
@@ -651,11 +826,13 @@ def render_image_pallas(
     interpret: bool = False,
     omega: float | None = None,
     swizzle: bool = True,
+    split=None,
 ) -> jax.Array:
     """Full fused render (single dispatch, no host syncs).
 
     ``omega > 1`` turns on safe over-relaxed marching (see :func:`_march`);
-    ``omega=None`` honors ``config.relaxation``.
+    ``omega=None`` honors ``config.relaxation``. ``split`` (from
+    ``csdf.compile_scene_split``) enables per-tile scene specialization.
     Returns linear RGB ``(H, W, 3)``."""
     omega = config.relaxation if omega is None else float(omega)
     h, w = origins.shape[:2]
@@ -665,5 +842,5 @@ def render_image_pallas(
         csdf, origins, directions,
         jnp.broadcast_to(jnp.asarray(cone_radius, jnp.float32), (h, w)),
         config, bb, use_bb_skip, two_phase, phase_a_steps, tail_cap,
-        interpret, h, w, omega, swizzle,
+        interpret, h, w, omega, swizzle, split,
     )

@@ -12,7 +12,7 @@ TPU-first design: instead of one thread per ray with divergent loops, the
 whole ray batch advances under a ``lax.while_loop`` with per-ray active
 masks — the loop ends as soon as *every* ray in the batch has resolved, and
 each iteration is one fused VPU pass over the batch. The Pallas kernel in
-``ops/pallas/trace_kernel.py`` tiles the image so early-finishing tiles stop
+``ops/pallas/render_kernel.py`` tiles the image so early-finishing tiles stop
 iterating (the TPU analogue of warp-coherent early exit).
 """
 

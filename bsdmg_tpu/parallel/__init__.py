@@ -1,3 +1,10 @@
+from bsdmg_tpu.parallel.mesh import (
+    ShardedField,
+    distribute_field,
+    extract_sharded,
+    generate_mesh_sharded,
+    refine_field_sharded,
+)
 from bsdmg_tpu.parallel.sharding import (
     make_mesh,
     render_sharded,
@@ -7,7 +14,12 @@ from bsdmg_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "ShardedField",
+    "distribute_field",
+    "extract_sharded",
+    "generate_mesh_sharded",
     "make_mesh",
+    "refine_field_sharded",
     "render_sharded",
     "render_sharded_pallas",
     "shard_rays",

@@ -177,10 +177,13 @@ def train_step(
 
 @partial(
     jax.jit,
-    static_argnames=("csdf", "mesh", "config", "bb", "interpret", "h", "w"),
+    static_argnames=(
+        "csdf", "mesh", "config", "bb", "interpret", "h", "w", "split",
+    ),
 )
 def _render_sharded_pallas_jit(
-    csdf, origins, directions, cone_full, mesh, config, bb, interpret, h, w
+    csdf, origins, directions, cone_full, mesh, config, bb, interpret, h, w,
+    split=None,
 ):
     from jax.experimental.shard_map import shard_map
 
@@ -225,7 +228,7 @@ def _render_sharded_pallas_jit(
     def local(o, d, c):
         return render_swizzled(
             csdf, o, d, c, config, bb, bb is not None,
-            False, 32, 1024, interpret, config.relaxation,
+            False, 32, 1024, interpret, config.relaxation, split,
         )
 
     r, g, b = local(o_s, d_s, c_s)
@@ -242,6 +245,7 @@ def render_sharded_pallas(
     config: MarchConfig = MarchConfig(),
     *,
     bb: tuple | None = None,
+    split=None,
     interpret: bool = False,
 ):
     """Multi-device fused-kernel rendering: ``shard_map`` over the mesh with
@@ -267,5 +271,6 @@ def render_sharded_pallas(
         jnp.asarray(cone, jnp.float32), origins.shape[:-1]
     )
     return _render_sharded_pallas_jit(
-        csdf, origins, directions, cone_full, mesh, config, bb, interpret, h, w
+        csdf, origins, directions, cone_full, mesh, config, bb, interpret,
+        h, w, split,
     )

@@ -306,10 +306,27 @@ def ray_distance_to_bb(origin: jax.Array, direction: jax.Array, bb_min, bb_max) 
 # ---------------------------------------------------------------------------
 
 
+def _vec3(v):
+    """A 3-vector parameter as a tuple of scalars.
+
+    Accepts a (3,) array, a scalar, or a tuple/list of (traced) scalars —
+    the last form is what the SMEM-parameter Pallas kernels pass (Mosaic
+    kernels cannot hold 1-D traced vectors, but scalars are fine)."""
+    if isinstance(v, (tuple, list)):
+        if len(v) == 1:
+            return (v[0], v[0], v[0])
+        return tuple(v)
+    v = jnp.asarray(v, jnp.float32)
+    if v.ndim == 0:
+        return (v, v, v)
+    v = jnp.broadcast_to(v, (3,))
+    return (v[0], v[1], v[2])
+
+
 def sd_sphere_c(x, y, z, center, radius):
     """Component form of :func:`sd_sphere`."""
-    center = jnp.broadcast_to(jnp.asarray(center, jnp.float32), (3,))
-    dx, dy, dz = x - center[0], y - center[1], z - center[2]
+    c = _vec3(center)
+    dx, dy, dz = x - c[0], y - c[1], z - c[2]
     return jnp.sqrt(dx * dx + dy * dy + dz * dz) - radius
 
 
@@ -323,10 +340,10 @@ def sd_box_skeleton_c(x, y, z, center, size, line_width, *, reference_compat=Tru
     ``reference_compat=True`` reproduces the reference's ``bs[(dir+1)%2]``
     index bug (signed_distance.cu:101).
     """
-    center = jnp.broadcast_to(jnp.asarray(center, jnp.float32), (3,))
-    size = jnp.broadcast_to(jnp.asarray(size, jnp.float32), (3,))
+    center = _vec3(center)
+    size = _vec3(size)
     coords = (x, y, z)
-    lo = center - size / 2.0
+    lo = tuple(c - s / 2.0 for c, s in zip(center, size))
 
     best = None
     for d in range(3):

@@ -46,15 +46,15 @@ class Roofline:
         return self.seconds / measured_seconds
 
 
-def render_roofline(width: int, height: int, avg_steps: float = 13.1,
+def render_roofline(width: int, height: int, avg_steps: float,
                     ops_per_eval: int = 110) -> Roofline:
     """Speed-of-light for the reference-scene render.
 
     ``ops_per_eval`` ~110: two factorized 12-edge skeletons (~40 ops each
     with cross-product grouping), sphere + smooth-min + march bookkeeping.
-    ``avg_steps`` from the measured step histogram (mean 13.1). The measured
-    kernel reaches ~20-25% of this bound at 586 Mrays/s — the remainder is
-    tile-synchronized divergence (tile-max vs per-ray mean ~1.9x) and loop
-    overhead.
+    ``avg_steps`` should come from the kernel's own measured steps plane
+    (``bench.render_step_stats`` — use ``mean_tile_max_steps``, since the
+    tile-synchronized march executes the per-tile max, not the per-ray
+    mean); ``bench --which render --roofline`` prints the comparison.
     """
     return Roofline(width * height, avg_steps, ops_per_eval)

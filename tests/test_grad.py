@@ -233,3 +233,33 @@ def test_gradients_match_fd_over_random_params():
         fd = (float(loss(pp, mask)) - float(loss(pm, mask))) / (2 * eps)
         got = float(jax.grad(lambda p: loss(p, mask))(params)[key])
         assert got == pytest.approx(fd, rel=0.1, abs=2e-3), (key, got, fd)
+
+
+def test_diff_render_pallas_march_matches_xla():
+    """The SMEM-parameter Pallas march (interpret mode) must reproduce the
+    XLA march inside the differentiable render — images AND gradients (the
+    march is stopped; gradients flow through the IFT reattachment only)."""
+    from bsdmg_tpu.grad.diff_render import _render_image_diff_c
+    from bsdmg_tpu.models import reference_render_scene
+
+    scene = reference_render_scene()
+    params = dict(scene.params)
+    params["sphere_radius"] = jnp.float32(1.2)
+    cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+    o, d, c = generate_rays(cam, (64, 32), (1920.0, 1080.0))
+
+    def img_fn(p, use_pallas):
+        return _render_image_diff_c(
+            scene.csdf, p, o, d, c, use_pallas=use_pallas, interpret=True
+        )
+
+    a = np.asarray(img_fn(params, False))
+    b = np.asarray(img_fn(params, True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+    ga = jax.grad(lambda p: jnp.sum(img_fn(p, False)))(params)
+    gb = jax.grad(lambda p: jnp.sum(img_fn(p, True)))(params)
+    for k in ga:
+        np.testing.assert_allclose(
+            np.asarray(ga[k]), np.asarray(gb[k]), rtol=1e-4, atol=1e-5, err_msg=k
+        )

@@ -225,3 +225,33 @@ def test_csdf_parity_over_random_params():
         baked = reference_object_csdf(params)
         got = np.asarray(baked(x, y, z))
         np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=f"baked trial {trial}")
+
+
+def test_split_specialization_matches_unsplit():
+    """Per-tile scene specialization (compile_scene_split) must not change
+    the image: far-only tiles trace the exact far-scene and near rays are
+    conservatively classified (interpret mode)."""
+    from bsdmg_tpu.ops.pallas.csdf import compile_scene_split
+
+    scene = reference_render_scene()
+    csdf = compile_scene_csdf(scene)
+    bb = scene_bounds(scene)
+    split = compile_scene_split(scene)
+    assert split is not None
+    cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+    origins, dirs, cone = generate_rays(cam, (256, 64), (1920.0, 1080.0))
+
+    from bsdmg_tpu.ops.pallas.render_kernel import render_image_pallas
+
+    a = np.asarray(
+        render_image_pallas(csdf, origins, dirs, cone, bb=bb, interpret=True)
+    )
+    b = np.asarray(
+        render_image_pallas(
+            csdf, origins, dirs, cone, bb=bb, split=split, interpret=True
+        )
+    )
+    diff = np.abs(a - b).max(-1)
+    # step-count paths may differ on boundary pixels; colors must agree
+    assert (diff > 1e-3).mean() < 1e-3
+    assert diff.mean() < 1e-5

@@ -146,3 +146,36 @@ class TestGoldenRender:
         diff = np.abs(img - golden).max(axis=-1)
         assert np.mean(diff < 2e-2) > 0.99, f"mismatched pixels: {(diff >= 2e-2).sum()}"
         assert diff.mean() < 2e-3
+
+
+class TestCachedGolden:
+    def test_reference_scene_256px_cached(self):
+        """Full fused Pallas pipeline (swizzle + BB skip + shade, interpret
+        mode) vs the committed 256x144 oracle render — the full-resolution
+        regression pin that is too slow to oracle-render per run
+        (tests/golden/generate.py regenerates it)."""
+        import os
+
+        from bsdmg_tpu.ops.pallas import compile_scene_csdf
+        from bsdmg_tpu.ops.pallas.csdf import scene_bounds
+        from bsdmg_tpu.ops.pallas.render_kernel import render_image_pallas
+
+        path = os.path.join(
+            os.path.dirname(__file__), "golden", "render_256x144.npz"
+        )
+        golden = np.load(path)["image"]
+        assert golden.shape == (144, 256, 3)
+
+        scene = reference_render_scene()
+        csdf = compile_scene_csdf(scene)
+        bb = scene_bounds(scene)
+        cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+        origins, dirs, cone = generate_rays(cam, (256, 144), (1920.0, 1080.0))
+        img = np.asarray(
+            render_image_pallas(csdf, origins, dirs, cone, bb=bb, interpret=True)
+        )
+
+        # float32 kernel vs float64 oracle: near-exact away from silhouettes
+        diff = np.abs(img - golden).max(axis=-1)
+        assert np.mean(diff < 2e-2) > 0.995, f"mismatched: {(diff >= 2e-2).sum()}"
+        assert diff.mean() < 1e-3
