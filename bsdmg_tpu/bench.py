@@ -269,16 +269,33 @@ def benchmark_render_grad(width: int = 512, height: int = 512, iters: int = 3):
     origins, dirs, cone = generate_rays(cam, (width, height), (1920.0, 1080.0))
     target = jnp.zeros((height, width, 3), jnp.float32)
 
-    # sky slab skip with a conservative param trust region (bounds at the
-    # default params, inflated 25% — what a fit caller would pass)
-    from bsdmg_tpu.ops.pallas.csdf import scene_bounds
+    # sky slab skip + tile specialization with a conservative param trust
+    # region (bounds at the default params, inflated 25% — what a fit
+    # caller would pass)
+    from bsdmg_tpu.ops.pallas.csdf import compile_scene_split, scene_bounds
 
     lo, hi = scene_bounds(scene)
     bb = (tuple(v - 0.25 for v in lo), tuple(v + 0.25 for v in hi))
+    far, (nlo, nhi) = compile_scene_split(scene)
+    split = (
+        far,
+        (tuple(v - 0.25 for v in nlo), tuple(v + 0.25 for v in nhi)),
+    )
+
+    # optimize the reference object's five shape parameters (the round-1
+    # operating point; the motion-system transform params are not fit
+    # targets and an identity transform would only add dead quaternion math
+    # to every traced SDF eval)
+    params = {
+        k: v
+        for k, v in scene.params.items()
+        if k not in ("object_center", "object_rotation")
+    }
 
     def loss(p, i):
         img = render_image_diff(
-            scene.sdf, p, origins + 1e-7 * i, dirs, cone, csdf=scene.csdf, bb=bb
+            scene.sdf, p, origins + 1e-7 * i, dirs, cone, csdf=scene.csdf,
+            bb=bb, split=split,
         )
         return jnp.mean((img - target) ** 2)
 
@@ -288,7 +305,7 @@ def benchmark_render_grad(width: int = 512, height: int = 512, iters: int = 3):
     def many(k):
         acc = jnp.float32(0)
         for i in range(k):
-            g = grad_fn(scene.params, i)
+            g = grad_fn(params, i)
             acc = acc + sum(jnp.sum(jnp.abs(v)) for v in jax.tree.leaves(g))
         return acc
 

@@ -105,6 +105,7 @@ def render_image_diff(
     config: MarchConfig = MarchConfig(),
     csdf=None,
     bb: tuple | None = None,
+    split=None,
 ) -> jax.Array:
     """Differentiable render: linear RGB ``(..., 3)`` with gradients flowing
     to ``params`` through hit depth and shading normals.
@@ -117,7 +118,8 @@ def render_image_diff(
     """
     if csdf is not None:
         return _render_image_diff_c(
-            csdf, params, origins, directions, cone_radius, config, bb=bb
+            csdf, params, origins, directions, cone_radius, config,
+            bb=bb, split=split,
         )
     t_diff, hit = differentiable_hit(
         scene, params, origins, directions, cone_radius, config
@@ -136,6 +138,7 @@ def _render_image_diff_c(
     use_pallas: bool | None = None,
     interpret: bool = False,
     bb: tuple | None = None,
+    split=None,
 ) -> jax.Array:
     """Component-form differentiable render (same semantics as the points
     path; gradients via the implicit function theorem at the hit).
@@ -161,21 +164,22 @@ def _render_image_diff_c(
     if use_pallas:
         from bsdmg_tpu.ops.pallas.diff_kernel import march_params_pallas
 
-        depth, steps, outcome = march_params_pallas(
+        depth, steps, outcome, dfdt = march_params_pallas(
             csdf, stopped, origins, directions, cone, config,
-            bb=bb, interpret=interpret,
+            bb=bb, split=split, interpret=interpret,
         )
+        t0 = jax.lax.stop_gradient(depth)
+        px, py, pz = ox + t0 * dx, oy + t0 * dy, oz + t0 * dz
     else:
         depth, steps, outcome, _ = _march(
             f0, config, (ox, oy, oz), (dx, dy, dz), cone,
             jnp.ones(batch, bool), jnp.zeros(batch, jnp.float32),
             jnp.zeros(batch, jnp.int32), config.step_limit,
         )
-    t0 = jax.lax.stop_gradient(depth)
-    px, py, pz = ox + t0 * dx, oy + t0 * dy, oz + t0 * dz
-
-    # IFT denominator: df/dt along the ray at the hit, params stopped
-    _, dfdt = jax.jvp(f0, (px, py, pz), (dx, dy, dz))
+        t0 = jax.lax.stop_gradient(depth)
+        px, py, pz = ox + t0 * dx, oy + t0 * dy, oz + t0 * dz
+        # IFT denominator: df/dt along the ray at the hit, params stopped
+        _, dfdt = jax.jvp(f0, (px, py, pz), (dx, dy, dz))
     denom = dfdt - cone
     denom = jnp.where(jnp.abs(denom) < 1e-6, -1e-6, denom)
     denom = jax.lax.stop_gradient(denom)

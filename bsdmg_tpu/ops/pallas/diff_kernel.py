@@ -57,15 +57,14 @@ def rebuild_param_tree(read, meta):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def _march_kernel(cfn, meta, config: MarchConfig, budget: int, bb):
+def _march_kernel(cfn, meta, config: MarchConfig, budget: int, bb, split):
     from bsdmg_tpu.ops.pallas.render_kernel import _slab_cull
-    from bsdmg_tpu.ops.trace import DEPTH_LIMIT
 
     def kernel(
         prm_ref,
         ox_ref, oy_ref, oz_ref,
         dx_ref, dy_ref, dz_ref, cone_ref,
-        depth_ref, steps_ref, outcome_ref,
+        depth_ref, steps_ref, outcome_ref, dfdt_ref,
     ):
         params = rebuild_param_tree(lambda i: prm_ref[0, i], meta)
         csdf = lambda x, y, z: cfn(params, x, y, z)
@@ -89,25 +88,59 @@ def _march_kernel(cfn, meta, config: MarchConfig, budget: int, bb):
             # fast-forward moves the accepted hit inside the cone window)
             depth0 = jnp.where(skip, config.depth_limit * 1.01, depth0)
             t_stop = jnp.minimum(t_exit, config.depth_limit)
-        depth, steps, outcome, _ = _march(
-            csdf, config,
-            (ox, oy, oz), (dx, dy, dz), cone,
-            active0, depth0, jnp.zeros(shape, jnp.int32),
-            budget, t_stop=t_stop,
-        )
-        depth_ref[:] = depth
-        steps_ref[:] = steps
-        outcome_ref[:] = outcome
+
+        def run(scene_fn):
+            depth, steps, outcome, _ = _march(
+                scene_fn, config,
+                (ox, oy, oz), (dx, dy, dz), cone,
+                active0, depth0, jnp.zeros(shape, jnp.int32),
+                budget, t_stop=t_stop,
+            )
+            depth_ref[:] = depth
+            steps_ref[:] = steps
+            outcome_ref[:] = outcome
+            # the IFT denominator df/dt at the hit (stop-gradient'ed by the
+            # caller anyway, so it can live inside the no-AD kernel): one
+            # in-register jvp instead of an XLA-side primal+tangent re-eval
+            _, dfdt = jax.jvp(
+                scene_fn,
+                (ox + depth * dx, oy + depth * dy, oz + depth * dz),
+                (dx, dy, dz),
+            )
+            dfdt_ref[:] = dfdt
+
+        if split is None:
+            run(csdf)
+        else:
+            # per-tile specialization (see render_kernel): `split` carries a
+            # *static* far scene (param-independent — the reference scene's
+            # frame wireframe) and a trust-region bound of the near component
+            far_csdf, (nlo, nhi) = split
+            n_miss, _, _ = _slab_cull(
+                ox, oy, oz, dx, dy, dz, nlo, nhi, cone, config
+            )
+            any_near = jnp.sum((active0 & ~n_miss).astype(jnp.int32)) > 0
+
+            @pl.when(any_near)
+            def _():
+                run(csdf)
+
+            @pl.when(~any_near)
+            def _():
+                run(lambda x, y, z: far_csdf(x, y, z))
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfn", "meta", "config", "interpret", "block_rows", "bb"),
+    static_argnames=(
+        "cfn", "meta", "config", "interpret", "block_rows", "bb", "split",
+    ),
 )
 def _march_params_call(
     cfn, meta, prm, o_p, d_p, cone_p, config, interpret, block_rows, bb=None,
+    split=None,
 ):
     hp, wp = cone_p.shape
     spec = _tile_spec(block_rows)
@@ -115,11 +148,11 @@ def _march_params_call(
     f32 = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
     i32 = jax.ShapeDtypeStruct((hp, wp), jnp.int32)
     return pl.pallas_call(
-        _march_kernel(cfn, meta, config, config.step_limit, bb),
+        _march_kernel(cfn, meta, config, config.step_limit, bb, split),
         grid=(hp // block_rows, wp // TILE_L),
         in_specs=[smem] + [spec] * 7,
-        out_specs=[spec] * 3,
-        out_shape=[f32, i32, i32],
+        out_specs=[spec] * 4,
+        out_shape=[f32, i32, i32, f32],
         interpret=interpret,
     )(
         prm,
@@ -138,6 +171,7 @@ def march_params_pallas(
     config: MarchConfig = MarchConfig(),
     *,
     bb: tuple | None = None,
+    split=None,
     interpret: bool = False,
 ):
     """Sphere-trace an (H, W) ray image under *runtime* parameters.
@@ -146,9 +180,14 @@ def march_params_pallas(
     ``stop_gradient``-ed params — the kernel has no AD rule and needs none
     (IFT reattachment happens outside). ``bb``, when given, enables the sky
     slab skip and must conservatively bound the surface for every parameter
-    value the optimization can reach. Rays stream through the same 32x32
-    spatial-block swizzle as the forward kernel (coherent step counts per
-    tile). Returns (depth, steps, outcome)."""
+    value the optimization can reach; ``split`` (a *param-independent* far
+    scene + a near trust-region box) enables per-tile specialization. Rays
+    stream through the same 32x32 spatial-block swizzle as the forward
+    kernel (coherent step counts per tile).
+
+    Returns ``(depth, steps, outcome, dfdt)`` — ``dfdt`` is the SDF's
+    directional derivative along the ray at the hit (the IFT denominator,
+    computed in-register)."""
     from bsdmg_tpu.ops.pallas.render_kernel import (
         _SWIZZLED_BLOCK_ROWS,
         _unswizzle,
@@ -161,10 +200,8 @@ def march_params_pallas(
         origins, directions, cone_full, h, w
     )
     prm, meta = flatten_param_tree(params)
-    depth, steps, outcome = _march_params_call(
+    outs = _march_params_call(
         cfn, meta, prm, o_s, d_s, c_s, config, interpret,
-        _SWIZZLED_BLOCK_ROWS, bb,
+        _SWIZZLED_BLOCK_ROWS, bb, split,
     )
-    return tuple(
-        _unswizzle(x[:m], hp, wp)[:h, :w] for x in (depth, steps, outcome)
-    )
+    return tuple(_unswizzle(x[:m], hp, wp)[:h, :w] for x in outs)
