@@ -292,21 +292,22 @@ def benchmark_render_grad(width: int = 512, height: int = 512, iters: int = 3):
         if k not in ("object_center", "object_rotation")
     }
 
-    def loss(p, i):
-        img = render_image_diff(
-            scene.sdf, p, origins + 1e-7 * i, dirs, cone, csdf=scene.csdf,
-            bb=bb, split=split,
-        )
-        return jnp.mean((img - target) ** 2)
-
-    grad_fn = jax.grad(loss)
+    # the production training-step path: on TPU this is the fused Pallas
+    # loss+grad kernel; elsewhere jax.value_and_grad of the diff render
+    from bsdmg_tpu.grad import render_loss_and_grad
 
     @functools.partial(jax.jit, static_argnames="k")
     def many(k):
         acc = jnp.float32(0)
         for i in range(k):
-            g = grad_fn(params, i)
-            acc = acc + sum(jnp.sum(jnp.abs(v)) for v in jax.tree.leaves(g))
+            loss, g = render_loss_and_grad(
+                scene.sdf, params, target, origins + 1e-7 * i, dirs, cone,
+                csdf=scene.csdf, bb=bb, split=split,
+            )
+            acc = (
+                acc + loss
+                + sum(jnp.sum(jnp.abs(v)) for v in jax.tree.leaves(g))
+            )
         return acc
 
     per_call = _slope_time(lambda k: float(many(k)), k2=4, iters=iters)

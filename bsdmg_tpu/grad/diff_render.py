@@ -215,13 +215,37 @@ def render_loss_and_grad(
     cone_radius: jax.Array,
     config: MarchConfig = MarchConfig(),
     csdf=None,
+    bb: tuple | None = None,
+    split=None,
+    use_fused: bool | None = None,
 ):
     """L2 image loss against ``target`` and its gradient w.r.t. ``params`` —
-    the inverse-rendering training step."""
+    the inverse-rendering training step.
+
+    On TPU with a component-form scene this runs as ONE fused Pallas kernel
+    (march + IFT + shade + loss + in-kernel reverse-mode with SMEM gradient
+    accumulation — ops/pallas/diff_kernel.py::render_loss_grad_pallas),
+    ~2x the per-stage path. Elsewhere it is the plain
+    ``jax.value_and_grad`` of the differentiable render (the oracle the
+    fused kernel is tested against)."""
+    if use_fused is None:
+        use_fused = (
+            csdf is not None
+            and jax.default_backend() == "tpu"
+            and origins.ndim == 3
+        )
+    if use_fused:
+        from bsdmg_tpu.ops.pallas.diff_kernel import render_loss_grad_pallas
+
+        return render_loss_grad_pallas(
+            csdf, params, target, origins, directions, cone_radius, config,
+            bb=bb, split=split,
+        )
 
     def loss_fn(p):
         img = render_image_diff(
-            scene, p, origins, directions, cone_radius, config, csdf=csdf
+            scene, p, origins, directions, cone_radius, config, csdf=csdf,
+            bb=bb, split=split,
         )
         return jnp.mean((img - target) ** 2)
 

@@ -205,3 +205,230 @@ def march_params_pallas(
         _SWIZZLED_BLOCK_ROWS, bb, split,
     )
     return tuple(_unswizzle(x[:m], hp, wp)[:h, :w] for x in outs)
+
+
+# ---------------------------------------------------------------------------
+# fully-fused loss + gradient kernel
+# ---------------------------------------------------------------------------
+
+
+def _loss_grad_kernel(cfn, meta, n_prm: int, config: MarchConfig, bb, split,
+                      inv_denom_elems: float):
+    """One kernel = the whole training step's compute: stopped march, IFT
+    reattachment, shading, L2 loss against the target AND dL/dparams.
+
+    The parameters live in SMEM as traced scalars, so ``jax.value_and_grad``
+    applies *inside* the kernel body — reverse-mode runs at trace time and
+    lowers to ordinary VPU ops, with per-tile gradient partial sums
+    accumulated into an SMEM output across the sequential grid. No XLA-side
+    autodiff graph, no HBM round trips between forward and backward.
+    """
+    from bsdmg_tpu.ops.pallas.render_kernel import _slab_cull
+    from bsdmg_tpu.ops.shade import shade_planes
+    from bsdmg_tpu.ops.trace import COLLISION
+
+    def kernel(
+        prm_ref,
+        ox_ref, oy_ref, oz_ref,
+        dx_ref, dy_ref, dz_ref, cone_ref,
+        tr_ref, tg_ref, tb_ref,
+        acc_ref,
+    ):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for i in range(n_prm + 1):
+                acc_ref[0, i] = jnp.float32(0.0)
+
+        prm0 = tuple(prm_ref[0, i] for i in range(n_prm))
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        cone = cone_ref[:]
+        shape = cone.shape
+
+        def scene_of(prm):
+            params = rebuild_param_tree(lambda i: prm[i], meta)
+            return lambda x, y, z: cfn(params, x, y, z)
+
+        csdf0 = scene_of(prm0)  # stopped scene: prm0 captured, not an arg
+        active0 = jnp.ones(shape, bool)
+        depth0 = jnp.zeros(shape, jnp.float32)
+        t_stop = None
+        if bb is not None:
+            miss, _, t_exit = _slab_cull(
+                ox, oy, oz, dx, dy, dz, bb[0], bb[1], cone, config
+            )
+            active0 = active0 & ~miss
+            depth0 = jnp.where(miss, config.depth_limit * 1.01, depth0)
+            t_stop = jnp.minimum(t_exit, config.depth_limit)
+
+        def tile_loss_grad(march_fn):
+            depth, _, outcome, _ = _march(
+                march_fn, config, (ox, oy, oz), (dx, dy, dz), cone,
+                active0, depth0, jnp.zeros(shape, jnp.int32),
+                config.step_limit, t_stop=t_stop,
+            )
+            t0 = depth  # constant w.r.t. prm (march used captured prm0)
+            px, py, pz = ox + t0 * dx, oy + t0 * dy, oz + t0 * dz
+            _, dfdt = jax.jvp(march_fn, (px, py, pz), (dx, dy, dz))
+            denom = dfdt - cone
+            denom = jnp.where(jnp.abs(denom) < 1e-6, -1e-6, denom)
+            collided = outcome == COLLISION
+
+            def pixel_loss(prm):
+                f = scene_of(prm)
+                residual = (
+                    f(px, py, pz) - cone * t0 - config.collision_distance
+                )
+                t_diff = jnp.where(collided, t0 - residual / denom, t0)
+                qx = ox + t_diff * dx
+                qy = oy + t_diff * dy
+                qz = oz + t_diff * dz
+                gx, gy, gz = jax.grad(
+                    lambda x, y, z: jnp.sum(f(x, y, z)), argnums=(0, 1, 2)
+                )(qx, qy, qz)
+                inv = jax.lax.rsqrt(
+                    jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-24)
+                )
+                r, g, b = shade_planes(gx * inv, gy * inv, gz * inv, outcome)
+                err = (
+                    (r - tr_ref[:]) ** 2
+                    + (g - tg_ref[:]) ** 2
+                    + (b - tb_ref[:]) ** 2
+                )
+                return jnp.sum(err) * inv_denom_elems
+
+            loss, grads = jax.value_and_grad(pixel_loss)(prm0)
+            acc_ref[0, 0] = acc_ref[0, 0] + loss
+            for i, g in enumerate(grads):
+                acc_ref[0, i + 1] = acc_ref[0, i + 1] + g
+
+        if split is None:
+            tile_loss_grad(csdf0)
+        else:
+            far_csdf, (nlo, nhi) = split
+            n_miss, _, _ = _slab_cull(
+                ox, oy, oz, dx, dy, dz, nlo, nhi, cone, config
+            )
+            any_near = jnp.sum((active0 & ~n_miss).astype(jnp.int32)) > 0
+
+            @pl.when(any_near)
+            def _():
+                tile_loss_grad(csdf0)
+
+            @pl.when(~any_near)
+            def _():
+                # the far scene is param-independent: its tiles still carry
+                # gradients through the residual/normal of the FULL scene
+                # (object contributions vanish there, but jax.grad of the
+                # full csdf keeps the math identical), while the march uses
+                # the cheap far-only SDF
+                tile_loss_grad(lambda x, y, z: far_csdf(x, y, z))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfn", "meta", "n_prm", "n_pixels", "config", "interpret", "bb", "split",
+    ),
+)
+def _loss_grad_call(
+    cfn, meta, n_prm, n_pixels, prm, o_s, d_s, c_s, t_r, t_g, t_b, config,
+    bb, split, interpret,
+):
+    from bsdmg_tpu.ops.pallas.render_kernel import _SWIZZLED_BLOCK_ROWS
+
+    rows, _ = c_s.shape
+    spec = pl.BlockSpec(
+        (_SWIZZLED_BLOCK_ROWS, TILE_L), lambda i: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
+    acc = pl.BlockSpec(
+        (1, n_prm + 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    # padded lanes contribute exactly zero; normalize by the TRUE pixel count
+    out = pl.pallas_call(
+        _loss_grad_kernel(
+            cfn, meta, n_prm, config, bb, split, 1.0 / (3.0 * n_pixels)
+        ),
+        grid=(rows // _SWIZZLED_BLOCK_ROWS,),
+        in_specs=[smem_in] + [spec] * 10,
+        out_specs=acc,
+        out_shape=jax.ShapeDtypeStruct((1, n_prm + 1), jnp.float32),
+        interpret=interpret,
+    )(
+        prm,
+        o_s[..., 0], o_s[..., 1], o_s[..., 2],
+        d_s[..., 0], d_s[..., 1], d_s[..., 2],
+        c_s, t_r, t_g, t_b,
+    )
+    return out[0, 0], out[0, 1:]
+
+
+def render_loss_grad_pallas(
+    cfn,
+    params,
+    target: jax.Array,
+    origins: jax.Array,
+    directions: jax.Array,
+    cone,
+    config: MarchConfig = MarchConfig(),
+    *,
+    bb: tuple | None = None,
+    split=None,
+    interpret: bool = False,
+    total_pixels: int | None = None,
+):
+    """Fused inverse-rendering step: ``(loss, grads)`` of the L2 image loss
+    w.r.t. the SDF parameter pytree, computed end-to-end in ONE Pallas
+    kernel (march + IFT + shading + loss + reverse-mode, with gradient
+    partial sums accumulated across the grid in SMEM).
+
+    Semantically identical to
+    ``jax.value_and_grad(lambda p: mean((render_image_diff(p) - target)**2))``
+    on the SoA path — asserted by tests against that XLA oracle.
+
+    ``total_pixels`` overrides the mean's denominator — the sharded
+    training step passes the GLOBAL pixel count so per-shard partial sums
+    ``psum`` into the exact global mean.
+    """
+    from bsdmg_tpu.ops.pallas.render_kernel import (
+        _SWIZZLED_BLOCK_ROWS,
+        _swizzle,
+        _pad_rows,
+        _pad2,
+        _BLOCK,
+        TILE_L,
+        swizzled_ray_planes,
+    )
+
+    h, w = origins.shape[:2]
+    cone_full = jnp.broadcast_to(jnp.asarray(cone, jnp.float32), (h, w))
+    o_s, d_s, c_s, (hp, wp, m, mp) = swizzled_ray_planes(
+        origins, directions, cone_full, h, w
+    )
+    # target planes through the same swizzle; padding target = 0 matches the
+    # padded rays' rendered black, so pad lanes contribute zero loss/grad
+    t_planes = []
+    for a in range(3):
+        t = _pad2(target[..., a], hp, wp, 0.0)
+        t_planes.append(_pad_rows(_swizzle(t), mp, 0.0))
+    prm, meta = flatten_param_tree(jax.tree.map(jax.lax.stop_gradient, params))
+    n_prm = prm.shape[1]
+    loss, flat_grads = _loss_grad_call(
+        cfn, meta, n_prm, total_pixels or (h * w), prm, o_s, d_s, c_s,
+        *t_planes, config, bb, split, interpret,
+    )
+    # unflatten back into the params pytree
+    treedef, shapes = meta
+    leaves = []
+    i = 0
+    for shp in shapes:
+        n = int(np.prod(shp)) if shp else 1
+        chunk = flat_grads[i : i + n]
+        i += n
+        leaves.append(chunk[0] if shp == () else chunk.reshape(shp))
+    grads = jax.tree_util.tree_unflatten(treedef, leaves)
+    return loss, grads

@@ -6,6 +6,7 @@ from bsdmg_tpu.parallel.mesh import (
     refine_field_sharded,
 )
 from bsdmg_tpu.parallel.sharding import (
+    train_step_fused,
     make_mesh,
     render_sharded,
     render_sharded_pallas,
@@ -24,4 +25,5 @@ __all__ = [
     "render_sharded_pallas",
     "shard_rays",
     "train_step",
+    "train_step_fused",
 ]

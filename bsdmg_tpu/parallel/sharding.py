@@ -236,6 +236,82 @@ def _render_sharded_pallas_jit(
     return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
 
 
+def train_step_fused(
+    csdf_p,
+    params: Any,
+    opt_state: Any,
+    optimizer,
+    target: jax.Array,
+    origins: jax.Array,
+    directions: jax.Array,
+    cone: jax.Array,
+    mesh: Mesh,
+    config: MarchConfig = MarchConfig(),
+    *,
+    bb: tuple | None = None,
+    split=None,
+    interpret: bool = False,
+):
+    """One inverse-rendering step, fully fused per chip.
+
+    Each chip runs the single-kernel loss+grad
+    (``ops.pallas.diff_kernel.render_loss_grad_pallas`` — march + IFT +
+    shade + loss + in-kernel reverse-mode) on its ray shard; the per-shard
+    gradient partial sums ``psum`` over ICI into the exact global-mean
+    gradient (shards pass the global pixel count as the mean denominator),
+    then a replicated optax update. This is the maximum-fusion training
+    configuration: two collective ops per step, everything else in-kernel.
+
+    Shard rays + target identically beforehand (e.g. ``shard_rays`` with
+    the same permutation applied to ``target`` — the loss is
+    permutation-invariant, so no unpermute is needed).
+
+    Returns ``(params, opt_state, loss)``.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from bsdmg_tpu.ops.pallas.diff_kernel import render_loss_grad_pallas
+
+    axes = tuple(mesh.axis_names)
+    h, w = origins.shape[:2]
+    ray = P(axes[0], axes[1] if len(axes) > 1 else None, None)
+    plane = P(axes[0], axes[1] if len(axes) > 1 else None)
+
+    @partial(
+        jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3)
+    )
+    def _step(cfn, opt, p, opt_st, tgt, o, d, c):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), ray, ray, plane, ray),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        def local(p_, o_, d_, c_, t_):
+            loss, grads = render_loss_grad_pallas(
+                cfn, p_, t_, o_, d_, c_, config,
+                bb=bb, split=split, interpret=interpret,
+                total_pixels=h * w,
+            )
+            loss = jax.lax.psum(loss, axes)
+            grads = jax.lax.psum(grads, axes)
+            return loss, grads
+
+        loss, grads = local(p, o, d, c, tgt)
+        updates, opt_st = opt.update(grads, opt_st, p)
+        import optax
+
+        p = optax.apply_updates(p, updates)
+        return p, opt_st, loss
+
+    cone_full = jnp.broadcast_to(jnp.asarray(cone, jnp.float32), (h, w))
+    return _step(
+        csdf_p, optimizer, params, opt_state, target, origins, directions,
+        cone_full,
+    )
+
+
 def render_sharded_pallas(
     csdf,
     origins: jax.Array,

@@ -263,3 +263,39 @@ def test_diff_render_pallas_march_matches_xla():
         np.testing.assert_allclose(
             np.asarray(ga[k]), np.asarray(gb[k]), rtol=1e-4, atol=1e-5, err_msg=k
         )
+
+
+def test_fused_loss_grad_matches_oracle():
+    """The single-kernel fused loss+grad (in-kernel reverse-mode, SMEM
+    accumulation; interpret mode) == jax.value_and_grad of the XLA diff
+    render, at a non-default parameter point with a non-trivial target."""
+    from bsdmg_tpu.grad.diff_render import _render_image_diff_c
+    from bsdmg_tpu.models import reference_render_scene
+    from bsdmg_tpu.ops.pallas.diff_kernel import render_loss_grad_pallas
+
+    scene = reference_render_scene()
+    params = {
+        k: v
+        for k, v in scene.params.items()
+        if k not in ("object_center", "object_rotation")
+    }
+    params["sphere_radius"] = jnp.float32(1.15)
+    cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+    o, d, c = generate_rays(cam, (64, 32), (1920.0, 1080.0))
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(rng.uniform(0, 1, (32, 64, 3)), jnp.float32)
+
+    def loss_fn(p):
+        img = _render_image_diff_c(scene.csdf, p, o, d, c, use_pallas=False)
+        return jnp.mean((img - target) ** 2)
+
+    ref_loss, ref_g = jax.value_and_grad(loss_fn)(params)
+    loss, g = render_loss_grad_pallas(
+        scene.csdf, params, target, o, d, c, interpret=True
+    )
+    assert float(loss) == pytest.approx(float(ref_loss), rel=1e-4)
+    for k in ref_g:
+        np.testing.assert_allclose(
+            np.asarray(g[k]), np.asarray(ref_g[k]), rtol=1e-3, atol=1e-5,
+            err_msg=k,
+        )
