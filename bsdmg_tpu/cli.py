@@ -297,7 +297,9 @@ def cmd_remesh(args) -> None:
 
 
 def cmd_fit(args) -> None:
-    """Inverse rendering: recover SDF parameters from a target depth map."""
+    """Inverse rendering: recover SDF parameters from a target depth map
+    (default) or from a target *image* via the fused loss+grad kernel
+    (``--image``, the production training-step path on TPU)."""
     import jax
     import jax.numpy as jnp
 
@@ -313,6 +315,10 @@ def cmd_fit(args) -> None:
     origins, dirs, cone = generate_rays(
         cam, (args.width, args.height), (args.screen_width, args.screen_height)
     )
+
+    if args.image:
+        _fit_image(args, log, origins, dirs, cone)
+        return
 
     # synthesize a target from the true params, then perturb and recover
     t_target, hit_t = differentiable_hit(scene.sdf, scene.params, origins, dirs, cone)
@@ -342,6 +348,67 @@ def cmd_fit(args) -> None:
     log.info(
         "recovered sphere_radius=%.4f (true 1.0), smooth_k=%.4f (true 0.5)",
         float(params["sphere_radius"]), float(params["smooth_k"]),
+    )
+
+
+def _fit_image(args, log, origins, dirs, cone) -> None:
+    """Image-loss inverse rendering with the fused loss+grad step: render a
+    target at the true params, perturb, recover by gradient descent. Each
+    step is `render_loss_and_grad` — on TPU one fused Pallas kernel."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bsdmg_tpu.grad import render_image_diff, render_loss_and_grad
+    from bsdmg_tpu.models import reference_render_scene
+    from bsdmg_tpu.ops.pallas.csdf import compile_scene_split, scene_bounds
+
+    scene = reference_render_scene()
+    true_params = {
+        k: v
+        for k, v in scene.params.items()
+        if k not in ("object_center", "object_rotation")
+    }
+    lo, hi = scene_bounds(scene)
+    bb = (tuple(v - 0.3 for v in lo), tuple(v + 0.3 for v in hi))
+    far, (nlo, nhi) = compile_scene_split(scene)
+    split = (far, (tuple(v - 0.3 for v in nlo), tuple(v + 0.3 for v in nhi)))
+
+    target = jax.lax.stop_gradient(
+        render_image_diff(
+            scene.sdf, true_params, origins, dirs, cone, csdf=scene.csdf, bb=bb
+        )
+    )
+    # fit the sphere radius from a 6% perturbation. IFT gradients carry no
+    # silhouette terms (outcome flips are step discontinuities — SURVEY §7
+    # hard-part 3), so the image-loss estimator is valid in a basin where
+    # interior-shading gradients dominate (~±5-10% here; measured: the AD
+    # gradient flips sign vs the true loss slope beyond r ~ 1.15). Larger
+    # perturbations need edge-aware estimators or the depth-mode fit
+    # (default verb), which masks unstable pixels.
+    params = dict(true_params)
+    params["sphere_radius"] = params["sphere_radius"] * 1.06
+
+    opt = optax.adam(args.lr * 0.01)
+    opt_state = opt.init(params)
+    fixed = {k: v for k, v in params.items() if k != "sphere_radius"}
+    for i in range(args.steps):
+        loss, g = render_loss_and_grad(
+            scene.sdf, params, target, origins, dirs, cone,
+            csdf=scene.csdf, bb=bb, split=split,
+        )
+        g = {k: (v if k == "sphere_radius" else v * 0.0) for k, v in g.items()}
+        updates, opt_state = opt.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params.update(fixed)
+        if i % 10 == 0 or i == args.steps - 1:
+            log.info(
+                "step %d: loss=%.3e radius=%.4f",
+                i, float(loss), float(params["sphere_radius"]),
+            )
+    log.info(
+        "recovered sphere_radius=%.4f (true 1.0)",
+        float(params["sphere_radius"]),
     )
 
 
@@ -504,10 +571,14 @@ def build_parser() -> argparse.ArgumentParser:
     rm.add_argument("--output", "-o", default=None)
     rm.set_defaults(fn=cmd_remesh)
 
-    ft = sub.add_parser("fit", help="inverse rendering: recover SDF params from depth")
+    ft = sub.add_parser("fit", help="inverse rendering: recover SDF params from depth or image")
     common_camera(ft)
     ft.add_argument("--steps", type=int, default=60)
     ft.add_argument("--lr", type=float, default=0.2)
+    ft.add_argument(
+        "--image", action="store_true",
+        help="fit an L2 image loss with the fused loss+grad kernel",
+    )
     ft.set_defaults(fn=cmd_fit)
     ft.set_defaults(width=64, height=64)
 
