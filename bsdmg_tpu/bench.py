@@ -261,7 +261,7 @@ def benchmark_render_grad(width: int = 512, height: int = 512, iters: int = 3):
     import jax.numpy as jnp
 
     from bsdmg_tpu.cam import generate_rays, look_at
-    from bsdmg_tpu.grad import render_image_diff
+
     from bsdmg_tpu.models import reference_render_scene
 
     scene = reference_render_scene()

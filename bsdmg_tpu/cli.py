@@ -112,7 +112,7 @@ def cmd_render(args) -> None:
 
 def cmd_mesh(args) -> None:
     from bsdmg_tpu.config import MeshGenConfig
-    from bsdmg_tpu.mesh import create_voxel_field, generate_mesh, refine_field
+    from bsdmg_tpu.mesh import generate_mesh
     from bsdmg_tpu.mesh.export import save_field, save_obj, save_vtk
     from bsdmg_tpu.utils import get_logger
 

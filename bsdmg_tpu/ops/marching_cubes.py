@@ -39,7 +39,6 @@ from bsdmg_tpu.ops.tables import (
     MC_CORNER_OFFSETS,
     MC_EDGE_MIDPOINTS,
     MC_EDGE_TABLE,
-    MC_MAX_TRIANGLES,
     MC_TRIANGLE_CASES,
 )
 from bsdmg_tpu.sdf.normals import as_component

@@ -36,14 +36,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bsdmg_tpu.config import MarchConfig
-from bsdmg_tpu.ops.shade import COLOR_HIGH, COLOR_LOW, _ACES_M1, _ACES_M2
+from bsdmg_tpu.ops.shade import _ACES_M1, _ACES_M2
 from bsdmg_tpu.ops.trace import COLLISION, DEPTH_LIMIT, STEP_LIMIT, RayMarchHit
 
 TILE_S = 8  # sublanes (f32 native)
 TILE_L = 128  # lanes
-
-_LIGHT = (1.0 / np.sqrt(3.0),) * 3  # normalize(vec3(1,1,1)), compute_render.cu:67
-
 
 def _pad2(a: jax.Array, h: int, w: int, value) -> jax.Array:
     ph, pw = h - a.shape[0], w - a.shape[1]

@@ -10,8 +10,6 @@ device 0.)
 from __future__ import annotations
 
 import os
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -8,7 +8,6 @@ TensorBoard/XProf, and compute an analytic roofline for the render kernel.
 from __future__ import annotations
 
 import contextlib
-import time
 from dataclasses import dataclass
 
 
