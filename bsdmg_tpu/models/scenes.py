@@ -214,12 +214,38 @@ def mandelbulb_scene(scale: float = 1.0) -> Scene:
     return Scene("mandelbulb", fn, params, cfn)
 
 
+def wrapped_object_scene(cell: float = 8.0) -> Scene:
+    """The reference object repeated infinitely on a cubic lattice via the
+    ``wrap`` domain-repetition primitive (signed_distance.cu:9-18 — the
+    reference ships ``wrap`` but never wires it into a scene; this scene
+    gives it a product path). ``cell`` is the lattice period; the wrapped
+    value is a correct distance *bound* as long as the object (extent ~3.5)
+    stays well inside the cell, which sphere tracing requires anyway."""
+    params = dict(default_object_params())
+    params["cell"] = _f32(cell)
+
+    def cfn(q, x, y, z):
+        half = q["cell"] / 2.0
+        wx = -half + jnp.mod(x + half, q["cell"])
+        wy = -half + jnp.mod(y + half, q["cell"])
+        wz = -half + jnp.mod(z + half, q["cell"])
+        return _sd_obj_c(q, wx, wy, wz)
+
+    def fn_wrapped(q, p):
+        half = q["cell"] / 2.0
+        wrapped = sdf.wrap(p, jnp.full(3, -half), jnp.full(3, half))
+        return _sd_obj(q, wrapped)
+
+    return Scene("wrapped_object", fn_wrapped, params, cfn)
+
+
 SCENES: dict[str, Callable[[], Scene]] = {
     "reference_object": reference_object,
     "reference_render_scene": reference_render_scene,
     "sphere": sphere_scene,
     "box": box_scene,
     "mandelbulb": mandelbulb_scene,
+    "wrapped_object": wrapped_object_scene,
 }
 
 

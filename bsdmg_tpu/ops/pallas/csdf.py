@@ -380,4 +380,17 @@ def compile_scene_csdf(scene: Scene, params=None) -> CSdf | None:
             ) * s
 
         return f
+    if scene.name == "wrapped_object":
+        obj = reference_object_csdf(p)
+        cell = float(p["cell"])
+        half = cell / 2.0
+
+        def f(x, y, z):
+            # wrap (signed_distance.cu:9-18) in component form
+            wx = -half + jnp.mod(x + half, cell)
+            wy = -half + jnp.mod(y + half, cell)
+            wz = -half + jnp.mod(z + half, cell)
+            return obj(wx, wy, wz)
+
+        return f
     return None

@@ -190,3 +190,34 @@ class TestReferenceScene:
         # moving the sphere radius outward decreases the distance
         assert float(g["sphere_radius"]) < 0.0
         assert np.isfinite(jax.flatten_util.ravel_pytree(g)[0]).all()
+
+
+class TestWrappedObjectScene:
+    def test_wrap_periodicity(self):
+        """The wrapped scene repeats the reference object with the cell
+        period, on both the points API and the component/baked forms."""
+        import numpy as np
+
+        from bsdmg_tpu.models import get_scene, reference_object
+        from bsdmg_tpu.ops.pallas import compile_scene_csdf
+
+        scene = get_scene("wrapped_object")
+        base = reference_object()
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.uniform(-3.5, 3.5, size=(64, 3)), jnp.float32)
+        cell = float(scene.params["cell"])
+
+        d0 = np.asarray(base.bind()(pts))
+        w0 = np.asarray(scene.bind()(pts))
+        np.testing.assert_allclose(w0, d0, atol=1e-5)
+
+        shift = jnp.asarray([[cell, -2 * cell, cell]], jnp.float32)
+        w1 = np.asarray(scene.bind()(pts + shift))
+        np.testing.assert_allclose(w1, w0, atol=1e-4)
+
+        # component and baked forms agree with the points form
+        c = np.asarray(scene.csdf(scene.params, pts[:, 0], pts[:, 1], pts[:, 2]))
+        np.testing.assert_allclose(c, w0, atol=1e-5)
+        baked = compile_scene_csdf(scene)
+        b = np.asarray(baked(pts[:, 0], pts[:, 1], pts[:, 2]))
+        np.testing.assert_allclose(b, w0, atol=1e-5)
