@@ -139,7 +139,18 @@ def cmd_mesh(args) -> None:
     from bsdmg_tpu.ops.pallas import compile_scene_csdf
 
     t0 = time.perf_counter()
-    if args.resume:
+    if args.sharded:
+        # multi-device pipeline: shard-local refine + extraction over every
+        # local device (parallel/mesh.py); identical welded vertex set
+        from bsdmg_tpu.parallel import generate_mesh_sharded, make_mesh
+
+        dev_mesh = make_mesh()
+        log.info("sharded pipeline over %d device(s)", dev_mesh.devices.size)
+        mesh = generate_mesh_sharded(
+            scene.bind(), dev_mesh, refine_steps=args.refine, config=cfg,
+            csdf=compile_scene_csdf(scene),
+        )
+    elif args.resume:
         # deterministic recovery (SURVEY §5): restart the pipeline from a
         # saved field snapshot instead of level 0
         from bsdmg_tpu.mesh import refine_field
@@ -536,6 +547,10 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--bb-size", type=float, default=5.0)
     m.add_argument("--newton-iters", type=int, default=24)
     m.add_argument("--interpolate-edges", action="store_true")
+    m.add_argument(
+        "--sharded", action="store_true",
+        help="shard-local refine + extraction over all local devices",
+    )
     m.add_argument("--checkpoint", default=None, help="save field npz per level")
     m.add_argument("--resume", default=None, help="resume from a field npz; --refine counts further levels")
     m.add_argument("--output", "-o", default=None)

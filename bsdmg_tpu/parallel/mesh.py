@@ -57,6 +57,23 @@ class ShardedField:
     def local_capacity(self) -> int:
         return self.lowers.shape[0] // len(self.counts)
 
+    def gather(self) -> VoxelField:
+        """Collect all shards into a host-compacted single-device
+        :class:`VoxelField` (for checkpointing with ``mesh.export.save_field``
+        or any single-device consumer)."""
+        n = len(self.counts)
+        buf = np.asarray(self.lowers).reshape(n, -1, 3)
+        live = np.concatenate([buf[d, : self.counts[d]] for d in range(n)])
+        cap = _round_capacity(max(int(live.shape[0]), 1))
+        out = np.full((cap, 3), 1e6, np.float32)
+        out[: live.shape[0]] = live
+        return VoxelField(
+            lowers=jnp.asarray(out),
+            count=int(live.shape[0]),
+            voxel_size=self.voxel_size,
+            level=self.level,
+        )
+
 
 def distribute_field(
     field: VoxelField, mesh: Mesh

@@ -311,3 +311,27 @@ class TestFusedTrainStep:
             np.testing.assert_allclose(
                 np.asarray(new_p[k]), expect, rtol=1e-3, atol=1e-6, err_msg=k
             )
+
+
+def test_sharded_field_gather_roundtrip():
+    """ShardedField.gather() recovers the exact live voxel set for
+    single-device consumers (checkpointing, welding)."""
+    from bsdmg_tpu.config import MeshGenConfig
+    from bsdmg_tpu.mesh import create_voxel_field, refine_field
+    from bsdmg_tpu.models import sphere_scene
+    from bsdmg_tpu.parallel import distribute_field, make_mesh, refine_field_sharded
+
+    scene = sphere_scene(1.0)
+    cfg = MeshGenConfig(init_factor=8, bb_size=4.0)
+    field = create_voxel_field(cfg)
+    single = refine_field(scene.bind(), field, cfg)
+
+    mesh = make_mesh()
+    refined = refine_field_sharded(
+        scene.bind(), distribute_field(field, mesh), cfg, mesh
+    )
+    gathered = refined.gather()
+    assert gathered.count == single.count
+    a = np.asarray(single.live_lowers())
+    b = np.asarray(gathered.live_lowers())
+    np.testing.assert_allclose(a[np.lexsort(a.T)], b[np.lexsort(b.T)], atol=1e-6)
