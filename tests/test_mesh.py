@@ -343,3 +343,38 @@ class TestMeshQuality:
         assert (counts == 2).all(), (
             f"non-manifold edges: {dict(zip(*np.unique(counts, return_counts=True)))}"
         )
+
+
+class TestBlockedCompactionOverflow:
+    def test_refine_retries_when_most_blocks_survive(self):
+        """A surface crossing nearly every voxel overflows the quarter-alive
+        block_cap guess; refine_field must detect it (unclipped counts) and
+        retry wider, landing on exactly the generic path's survivor set."""
+        from bsdmg_tpu.mesh.field import _pad_to, _round_capacity
+        from bsdmg_tpu.ops.refine import refine_step
+
+        # rapid sign oscillation: ~every child voxel straddles a zero
+        # crossing, so survivors fill far more than a quarter of the blocks
+        # (init 32 -> nb=512 blocks, first guess block_cap=128)
+        wavy = lambda p: jnp.sin(p[..., 0] * 40.0) * 0.01
+        cfg = MeshGenConfig(init_factor=32, bb_size=4.0)
+        field = create_voxel_field(cfg)
+
+        refined = refine_field(wavy, field, cfg)
+
+        cap = _round_capacity(field.count)
+        out, cnt, _ = refine_step(
+            wavy, _pad_to(field.lowers, cap), jnp.int32(field.count),
+            jnp.float32(field.voxel_size),
+        )
+        assert refined.count == int(cnt)
+        # genuinely overflows the first quarter-alive guess
+        from bsdmg_tpu.ops.refine import _BLOCK_ROWS
+
+        nb = 8 * _round_capacity(field.count) // _BLOCK_ROWS
+        assert refined.count > (nb // 4) * _BLOCK_ROWS * 0.3
+        a = np.asarray(refined.lowers[: refined.count])
+        b = np.asarray(out[: int(cnt)])
+        np.testing.assert_allclose(
+            a[np.lexsort(a.T)], b[np.lexsort(b.T)], atol=1e-6
+        )
