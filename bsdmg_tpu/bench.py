@@ -36,9 +36,6 @@ def _slope_time(make_many, k1: int = 1, k2: int = 8, iters: int = 3) -> float:
     can be tens of ms — orders of magnitude above the real per-frame device
     time. Pure device throughput is what the baseline comparison needs.
     """
-    make_many(k1)
-    make_many(k2)  # warm both shapes
-
     def best(k):
         b = float("inf")
         for _ in range(iters):
@@ -47,15 +44,23 @@ def _slope_time(make_many, k1: int = 1, k2: int = 8, iters: int = 3) -> float:
             b = min(b, time.perf_counter() - t0)
         return b
 
-    slope = (best(k2) - best(k1)) / (k2 - k1)
-    if slope <= 0:
-        # timing jitter swallowed the workload delta; a negative/zero slope
-        # would publish a bogus (infinite) rate — fail loudly instead
-        raise RuntimeError(
-            f"non-positive slope {slope:.3e}s between k={k1} and k={k2}; "
-            "increase k2 or iters (timing jitter exceeded the workload delta)"
-        )
-    return slope
+    make_many(k1)
+    while True:
+        make_many(k2)  # warm this shape
+        slope = (best(k2) - best(k1)) / (k2 - k1)
+        if slope > 0:
+            return slope
+        # timing jitter swallowed the workload delta (the tunneled dispatch
+        # varies by ~ms); a negative/zero slope would publish a bogus
+        # (infinite) rate — widen the delta until it dominates, then fail
+        # loudly if even a large multiple cannot beat the jitter
+        if k2 - k1 >= 64:
+            raise RuntimeError(
+                f"non-positive slope {slope:.3e}s between k={k1} and k={k2}; "
+                "timing jitter exceeded the workload delta"
+            )
+        k2 *= 2
+        iters += 1
 
 
 def benchmark_render(
@@ -202,7 +207,7 @@ def benchmark_refine(init_factor: int = 64, iters: int = 3):
             )
         return total
 
-    per_call = _slope_time(lambda k: float(many(k)), iters=iters)
+    per_call = _slope_time(lambda k: float(many(k)), k1=2, k2=10, iters=5)
     return {
         "voxels_per_s": field.count / per_call,
         "seconds": per_call,
@@ -244,7 +249,10 @@ def benchmark_marching_cubes(init_factor: int = 64, iters: int = 3):
             )
         return acc
 
-    per_call = _slope_time(lambda k: float(many(k)), iters=iters)
+    # k1=4 skips the tunnel-jitter-dominated single-call point; k2=16 stays
+    # under the regime where 30+ unrolled (N,5,3,3) output buffers start
+    # distorting XLA's schedule (measured 6x per-call inflation at k=32)
+    per_call = _slope_time(lambda k: float(many(k)), k1=4, k2=16, iters=5)
     return {
         "voxels_per_s": field.count / per_call,
         "seconds": per_call,
@@ -310,7 +318,7 @@ def benchmark_render_grad(width: int = 512, height: int = 512, iters: int = 3):
             )
         return acc
 
-    per_call = _slope_time(lambda k: float(many(k)), k2=4, iters=iters)
+    per_call = _slope_time(lambda k: float(many(k)), k1=2, k2=16, iters=5)
     return {
         "rays_per_s": width * height / per_call,
         "seconds_per_frame": per_call,

@@ -1,27 +1,25 @@
-"""Fused Pallas render path: BB-skip -> tiled march -> compacted tail -> shade.
+"""Fused Pallas render path: slab cull -> tiled march -> in-kernel shade.
 
-Pipeline (each stage a Pallas kernel; the orchestrator is eager so the tail
-capacity can come from the measured active count):
+Default (single-phase) pipeline — ONE kernel per frame:
 
-1. **Phase A — tiled march.** The image is cut into native (8, 128) tiles;
-   each tile sphere-traces under a per-tile ``while_loop`` with a step cap.
-   A per-ray AABB slab pre-pass (box inflated by the worst-case collision
-   threshold) resolves sky rays instantly — they can never collide. Tiles
-   full of sky exit after one iteration; only tiles near geometry march.
-2. **Phase B — compacted tail.** Rays still active after the cap (silhouette
-   grazers, frame-line neighborhoods) are compacted into a dense buffer with
-   ``nonzero``/gather, marched to completion in a second kernel where every
-   lane is a slow ray, and scattered back. This converts the per-*tile*
-   worst case into a per-*ray* worst case for the 1-3% tail — the TPU answer
-   to CUDA warp divergence (SURVEY §7 hard-part 1).
-3. **Shade.** FD normals (12 SDF evals), Lambert mix, ACES in a third kernel;
-   tiles without collisions skip the normal evaluations (``@pl.when``).
+1. **Slab cull.** Collisions satisfy ``f <= cone*t + eps`` and can only
+   happen at ``t <= T* = (|o-c| + r)/(1 - cone)``, so a per-ray slab test
+   against the scene box inflated by ``cone*T*`` retires sky rays instantly
+   and its exit depth is a sound per-ray *stop* (no marching empty space
+   out to the depth limit). Tiles whose rays all miss the *near* component's
+   inflated slab march a cheaper far-only scene (``compile_scene_split``).
+2. **Tiled march.** 32x32 spatial pixel blocks (the warp-swizzle analogue)
+   stream through (32, 128) Pallas blocks — 4 independent vregs per plane
+   keep the VPU pipeline fed — under a per-tile chunked ``while_loop``.
+3. **In-kernel shade.** fd4 normals (12 SDF evals, skipped for
+   collision-free tiles via ``@pl.when``), Lambert mix, ACES — fused into
+   the march kernel, so ray planes never round-trip HBM.
 
-The single-phase fused kernel (``two_phase=False``) is the default: with the
-32x32 spatial swizzle and multi-block grid steps the in-tile worst case is
-already well contained, and measurements show the tail compaction's
-gather/scatter overhead outweighs its savings on the reference scene. The
-two-phase mode remains available for scenes with pathological silhouettes.
+An opt-in two-phase mode caps phase A's steps and re-marches the compacted
+active tail in a second kernel (per-*ray* instead of per-*tile* worst case);
+measurements show the gather/scatter overhead outweighs its savings on the
+reference scene, so it is off by default but available for scenes with
+pathological silhouettes.
 """
 
 from __future__ import annotations
