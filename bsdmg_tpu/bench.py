@@ -111,12 +111,20 @@ def benchmark_render(
         )
 
     # K frames per dispatch (distinct origins so nothing folds away), summed
-    # to a scalar pulled to the host — a hard sync per dispatch.
-    @functools.partial(jax.jit, static_argnames="k")
+    # to a scalar pulled to the host — a hard sync per dispatch. K is a
+    # TRACED fori_loop bound: one kernel instance and one compile for every
+    # K. A fully k-unrolled variant measures ~10% higher (XLA overlaps the
+    # independent frames) but serializes to a 1.5 GB cache entry that takes
+    # minutes to push through the device tunnel every fresh process — the
+    # sequential-frame number is the stable, reproducible one.
+    @jax.jit
     def many(k):
-        return sum(jnp.sum(render_i(i)) for i in range(k))
+        def body(i, acc):
+            return acc + jnp.sum(render_i(i.astype(jnp.float32)))
 
-    per_frame = _slope_time(lambda k: float(many(k)), iters=iters)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    per_frame = _slope_time(lambda k: float(many(k)), k1=2, k2=8, iters=iters)
     rays = width * height
     return {
         "rays_per_s": rays / per_frame,
@@ -192,20 +200,21 @@ def benchmark_refine(init_factor: int = 64, iters: int = 3):
     nb = (8 * _round_capacity(field.count)) // _BLOCK_ROWS
     block_cap = max(64, -(-nb // 4))
 
-    @functools.partial(jax.jit, static_argnames="k")
+    @jax.jit
     def many(k):
         # consume the compacted output too: summing only the count lets XLA
         # dead-code the entire compaction and over-report throughput
-        total = jnp.float32(0)
-        for i in range(k):
+        def body(i, total):
             out, n_new, _, alive = _refine_blocked_jit(
-                sdf, lowers + 1e-7 * i, count, size, csdf, block_cap
+                sdf, lowers + 1e-7 * i.astype(jnp.float32), count, size,
+                csdf, block_cap,
             )
-            total = (
+            return (
                 total + jnp.sum(out) + n_new.astype(jnp.float32)
                 + alive.astype(jnp.float32)
             )
-        return total
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
     per_call = _slope_time(lambda k: float(many(k)), k1=2, k2=10, iters=5)
     return {
@@ -236,18 +245,21 @@ def benchmark_marching_cubes(init_factor: int = 64, iters: int = 3):
     voxel_size = jnp.float32(field.voxel_size)
     count = jnp.int32(field.count)
 
-    @functools.partial(jax.jit, static_argnames="k")
+    @jax.jit
     def many(k):
         # consume every output: positions/normals would otherwise be
         # dead-coded (Newton projection + normals dropped from the measure)
-        acc = jnp.float32(0)
-        for i in range(k):
-            soup = _extract(sdf, field.lowers + 1e-7 * i, voxel_size, count, cfg, csdf)
-            acc = (
+        def body(i, acc):
+            soup = _extract(
+                sdf, field.lowers + 1e-7 * i.astype(jnp.float32), voxel_size,
+                count, cfg, csdf,
+            )
+            return (
                 acc + jnp.sum(soup.valid) + jnp.sum(soup.positions)
                 + jnp.sum(soup.normals)
             )
-        return acc
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
     # k1=4 skips the tunnel-jitter-dominated single-call point; k2=16 stays
     # under the regime where 30+ unrolled (N,5,3,3) output buffers start
@@ -304,19 +316,20 @@ def benchmark_render_grad(width: int = 512, height: int = 512, iters: int = 3):
     # loss+grad kernel; elsewhere jax.value_and_grad of the diff render
     from bsdmg_tpu.grad import render_loss_and_grad
 
-    @functools.partial(jax.jit, static_argnames="k")
+    @jax.jit
     def many(k):
-        acc = jnp.float32(0)
-        for i in range(k):
+        def body(i, acc):
             loss, g = render_loss_and_grad(
-                scene.sdf, params, target, origins + 1e-7 * i, dirs, cone,
+                scene.sdf, params, target,
+                origins + 1e-7 * i.astype(jnp.float32), dirs, cone,
                 csdf=scene.csdf, bb=bb, split=split,
             )
-            acc = (
+            return (
                 acc + loss
                 + sum(jnp.sum(jnp.abs(v)) for v in jax.tree.leaves(g))
             )
-        return acc
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
     per_call = _slope_time(lambda k: float(many(k)), k1=2, k2=16, iters=5)
     return {
@@ -367,25 +380,31 @@ def benchmark_scaling(width: int = 1920, height: int = 1080, iters: int = 3):
         if on_tpu:
             # the production forward-serving path: fused kernel per chip;
             # block distribution/load balance is internal to the kernel
-            @functools.partial(jax.jit, static_argnames="k")
+            @jax.jit
             def many(k):
-                return sum(
-                    jnp.sum(
+                def body(i, acc):
+                    return acc + jnp.sum(
                         render_sharded_pallas(
-                            baked, origins + 1e-6 * i, dirs, cone, mesh,
-                            bb=bb, split=split,
+                            baked, origins + 1e-6 * i.astype(jnp.float32),
+                            dirs, cone, mesh, bb=bb, split=split,
                         )
                     )
-                    for i in range(k)
-                )
+
+                return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         else:
             o, d, c, _ = shard_rays(origins, dirs, cone, mesh)
-            @functools.partial(jax.jit, static_argnames="k")
+
+            @jax.jit
             def many(k):
-                return sum(
-                    jnp.sum(render_image_c(scene.csdf, scene.params, o + 1e-6 * i, d, c))
-                    for i in range(k)
-                )
+                def body(i, acc):
+                    return acc + jnp.sum(
+                        render_image_c(
+                            scene.csdf, scene.params,
+                            o + 1e-6 * i.astype(jnp.float32), d, c,
+                        )
+                    )
+
+                return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
         per_frame = _slope_time(lambda k: float(many(k)), k2=4, iters=iters)
         return width * height / per_frame
