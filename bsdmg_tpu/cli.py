@@ -380,10 +380,13 @@ def _fit_image(args, log, origins, dirs, cone) -> None:
         for k, v in scene.params.items()
         if k not in ("object_center", "object_rotation")
     }
-    lo, hi = scene_bounds(scene)
-    bb = (tuple(v - 0.3 for v in lo), tuple(v + 0.3 for v in hi))
-    far, (nlo, nhi) = compile_scene_split(scene)
-    split = (far, (tuple(v - 0.3 for v in nlo), tuple(v + 0.3 for v in nhi)))
+    lo, hi, slack = scene_bounds(scene)
+    bb = (tuple(v - 0.3 for v in lo), tuple(v + 0.3 for v in hi), slack)
+    far, (nlo, nhi, nslack) = compile_scene_split(scene)
+    split = (
+        far,
+        (tuple(v - 0.3 for v in nlo), tuple(v + 0.3 for v in nhi), nslack),
+    )
 
     target = jax.lax.stop_gradient(
         render_image_diff(

@@ -304,29 +304,38 @@ def _reference_object_bounds(p):
 
 def scene_bounds(scene: Scene, params=None) -> tuple | None:
     """Conservative AABB containing the scene surface, as nested float tuples
-    ``((lx,ly,lz),(hx,hy,hz))`` — static input to the render kernel's BB-skip.
+    ``((lx,ly,lz),(hx,hy,hz), slack)`` — static input to the render kernel's
+    BB-skip.
 
-    Includes the smooth-min under-estimation slack (``smooth_min(a,b,k) >=
-    min(a,b) - k/6``) so the skip can never cull a ray that might collide.
+    The box includes the smooth-min under-estimation slack
+    (``smooth_min(a,b,k) >= min(a,b) - k/6``) so the skip can never cull a ray
+    that might collide; the third element carries the same per-scene SDF
+    undershoot bound for the cull's *margin* math (``_slab_cull``), replacing
+    its fixed 0.1 default which is unsound for smooth_k > 0.6 (advisor
+    finding, round 2).
     """
     p = scene.params if params is None else params
     if scene.name in ("reference_object", "reference_render_scene"):
         lo, hi = _reference_object_bounds(p)
+        slack = float(p["smooth_k"]) / 6.0 + 1e-3
         if scene.name == "reference_render_scene":
             lo = np.minimum(lo, -2.5 - 0.05 - 1e-3)
             hi = np.maximum(hi, 2.5 + 0.05 + 1e-3)
-        return (tuple(map(float, lo)), tuple(map(float, hi)))
+        return (tuple(map(float, lo)), tuple(map(float, hi)), slack)
     if scene.name == "sphere":
+        # exact SDFs: slack only needs to absorb float noise
         r = float(p["radius"]) + 1e-3
-        return ((-r, -r, -r), (r, r, r))
+        return ((-r, -r, -r), (r, r, r), 1e-3)
     if scene.name == "box":
         half = np.asarray(p["size"], np.float64) / 2.0 + 1e-3
-        return (tuple(map(float, -half)), tuple(map(float, half)))
+        return (tuple(map(float, -half)), tuple(map(float, half)), 1e-3)
     if scene.name == "mandelbulb":
         # the power-7 bulb lives within radius ~1.2 of the origin (escape
-        # radius 2 scaled by 0.4), scaled by params
+        # radius 2 scaled by 0.4), scaled by params. The distance estimator
+        # underestimates by an unbounded factor near the set; keep the
+        # conservative 0.1 slack that has always been used for it.
         r = 1.25 * float(p["scale"]) + 1e-3
-        return ((-r, -r, -r), (r, r, r))
+        return ((-r, -r, -r), (r, r, r), 0.1)
     return None
 
 
@@ -351,7 +360,8 @@ def compile_scene_split(scene: Scene, params=None):
             np.zeros(3), np.full(3, 5.0), 0.05, reference_compat=True
         )
         lo, hi = _reference_object_bounds(p)
-        return far, (tuple(map(float, lo)), tuple(map(float, hi)))
+        slack = float(p["smooth_k"]) / 6.0 + 1e-3
+        return far, (tuple(map(float, lo)), tuple(map(float, hi)), slack)
     return None
 
 

@@ -58,7 +58,7 @@ def rebuild_param_tree(read, meta):
 
 
 def _march_kernel(cfn, meta, config: MarchConfig, budget: int, bb, split):
-    from bsdmg_tpu.ops.pallas.render_kernel import _slab_cull
+    from bsdmg_tpu.ops.pallas.render_kernel import _bb_parts, _slab_cull
 
     def kernel(
         prm_ref,
@@ -79,8 +79,9 @@ def _march_kernel(cfn, meta, config: MarchConfig, budget: int, bb, split):
             # same slab pre-pass as the forward kernel; `bb` must cover the
             # surface for EVERY parameter value reachable during optimization
             # (caller-supplied trust region)
+            lo_, hi_, slack_ = _bb_parts(bb)
             miss, _, t_exit = _slab_cull(
-                ox, oy, oz, dx, dy, dz, bb[0], bb[1], cone, config
+                ox, oy, oz, dx, dy, dz, lo_, hi_, cone, config, slack_
             )
             skip = active0 & miss
             active0 = active0 & ~miss
@@ -115,9 +116,10 @@ def _march_kernel(cfn, meta, config: MarchConfig, budget: int, bb, split):
             # per-tile specialization (see render_kernel): `split` carries a
             # *static* far scene (param-independent — the reference scene's
             # frame wireframe) and a trust-region bound of the near component
-            far_csdf, (nlo, nhi) = split
+            far_csdf, nbb = split
+            nlo, nhi, nslack = _bb_parts(nbb)
             n_miss, _, _ = _slab_cull(
-                ox, oy, oz, dx, dy, dz, nlo, nhi, cone, config
+                ox, oy, oz, dx, dy, dz, nlo, nhi, cone, config, nslack
             )
             any_near = jnp.sum((active0 & ~n_miss).astype(jnp.int32)) > 0
 
@@ -223,7 +225,7 @@ def _loss_grad_kernel(cfn, meta, n_prm: int, config: MarchConfig, bb, split,
     accumulated into an SMEM output across the sequential grid. No XLA-side
     autodiff graph, no HBM round trips between forward and backward.
     """
-    from bsdmg_tpu.ops.pallas.render_kernel import _slab_cull
+    from bsdmg_tpu.ops.pallas.render_kernel import _bb_parts, _slab_cull
     from bsdmg_tpu.ops.shade import shade_planes
     from bsdmg_tpu.ops.trace import COLLISION
 
@@ -254,8 +256,9 @@ def _loss_grad_kernel(cfn, meta, n_prm: int, config: MarchConfig, bb, split,
         depth0 = jnp.zeros(shape, jnp.float32)
         t_stop = None
         if bb is not None:
+            lo_, hi_, slack_ = _bb_parts(bb)
             miss, _, t_exit = _slab_cull(
-                ox, oy, oz, dx, dy, dz, bb[0], bb[1], cone, config
+                ox, oy, oz, dx, dy, dz, lo_, hi_, cone, config, slack_
             )
             active0 = active0 & ~miss
             depth0 = jnp.where(miss, config.depth_limit * 1.01, depth0)
@@ -305,9 +308,10 @@ def _loss_grad_kernel(cfn, meta, n_prm: int, config: MarchConfig, bb, split,
         if split is None:
             tile_loss_grad(csdf0)
         else:
-            far_csdf, (nlo, nhi) = split
+            far_csdf, nbb = split
+            nlo, nhi, nslack = _bb_parts(nbb)
             n_miss, _, _ = _slab_cull(
-                ox, oy, oz, dx, dy, dz, nlo, nhi, cone, config
+                ox, oy, oz, dx, dy, dz, nlo, nhi, cone, config, nslack
             )
             any_near = jnp.sum((active0 & ~n_miss).astype(jnp.int32)) > 0
 

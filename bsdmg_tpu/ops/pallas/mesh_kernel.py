@@ -73,7 +73,9 @@ def _project_kernel(csdf, iters: int, tol: float, eps: float, use_grad: bool):
         def newton(csdf_g):
             def step(_, carry):
                 gx, gy, gz, todo, i = carry
-                live = todo > 0
+                # mask per-step so odd `iters` stops at exactly `iters`
+                # (matching the XLA oracle), not at the next _CHUNK boundary
+                live = (todo > 0) & (i < iters)
                 sd = csdf(gx, gy, gz)
                 ngx, ngy, ngz = csdf_g(gx, gy, gz)
                 inv = jax.lax.rsqrt(

@@ -75,6 +75,17 @@ def _slab_enter(ox, oy, oz, dx, dy, dz, lo, hi, margin):
     return miss, t_enter, jnp.maximum(tmax, 0.0)
 
 
+def _bb_parts(bb):
+    """Split a static bounds tuple into ``(lo, hi, slack)``.
+
+    ``scene_bounds``/``compile_scene_split`` emit 3-tuples whose last element
+    is the scene-derived SDF under-estimation bound (smooth-min k/6 + eps);
+    bare ``(lo, hi)`` tuples keep the legacy conservative 0.1."""
+    if len(bb) > 2:
+        return bb[0], bb[1], float(bb[2])
+    return bb[0], bb[1], 0.1
+
+
 def _slab_cull(ox, oy, oz, dx, dy, dz, lo, hi, cone, config: MarchConfig,
                slack: float = 0.1):
     """Tight conservative box cull: can this ray ever collide with a surface
@@ -90,7 +101,9 @@ def _slab_cull(ox, oy, oz, dx, dy, dz, lo, hi, cone, config: MarchConfig,
     silhouette that used to march only because of margin slop. The returned
     ``t_exit`` is therefore also a sound per-ray *stop* depth: beyond it no
     collision is possible at any t. ``slack`` absorbs SDF under-estimation
-    (smooth-min k/6).
+    (smooth-min k/6) and must be >= the scene's actual undershoot — pass the
+    value carried by ``scene_bounds``' 3-tuple (see :func:`_bb_parts`) rather
+    than relying on the 0.1 default, which is unsound for smooth_k > 0.6.
     """
     eps = config.collision_distance
     cx = (lo[0] + hi[0]) * 0.5
@@ -294,8 +307,9 @@ def _trace_kernel(csdf, config: MarchConfig, bb, use_bb_skip: bool, budget: int,
 
         t_stop = None
         if use_bb_skip and bb is not None:
+            lo, hi, slack = _bb_parts(bb)
             miss, _, t_exit = _slab_cull(
-                ox, oy, oz, dx, dy, dz, bb[0], bb[1], cone, config
+                ox, oy, oz, dx, dy, dz, lo, hi, cone, config, slack
             )
             skip = active0 & miss
             active0 = active0 & ~miss
@@ -355,9 +369,10 @@ def _trace_kernel(csdf, config: MarchConfig, bb, use_bb_skip: bool, budget: int,
             # whose rays all stay > collision threshold away from the near
             # component's inflated slab sphere-trace the far scene alone —
             # an exact trace of the only surface those rays can reach.
-            far_csdf, (nlo, nhi) = split
+            far_csdf, nbb = split
+            nlo, nhi, nslack = _bb_parts(nbb)
             n_miss, _, _ = _slab_cull(
-                ox, oy, oz, dx, dy, dz, nlo, nhi, cone, config
+                ox, oy, oz, dx, dy, dz, nlo, nhi, cone, config, nslack
             )
             any_near = jnp.sum((active0 & ~n_miss).astype(jnp.int32)) > 0
 

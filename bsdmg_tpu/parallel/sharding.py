@@ -132,6 +132,36 @@ def render_sharded(
     return _render(scene, params, origins, directions, cone)
 
 
+@partial(
+    jax.jit,
+    static_argnums=(0, 1, 8, 9, 10),
+    donate_argnums=(2, 3),
+)
+def _train_step_jit(
+    scene_fn, opt, p, opt_st, tgt, o, d, c, component_fn, mesh, config
+):
+    """Module-level jitted train step: cached per (scene, optimizer, csdf,
+    mesh, config) across every optimizer iteration — defining the jit inside
+    ``train_step`` made each call a fresh wrapper that retraced the whole
+    sharded graph (advisor finding, round 2)."""
+    replicated = NamedSharding(mesh, P())
+
+    def loss_fn(pp):
+        img = render_image_diff(
+            scene_fn, pp, o, d, c, config, csdf=component_fn
+        )
+        return jnp.mean((img - tgt) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(p)
+    # params are replicated; grads reduce over the mesh automatically.
+    updates, opt_st = opt.update(grads, opt_st, p)
+    import optax
+
+    p = optax.apply_updates(p, updates)
+    p = jax.lax.with_sharding_constraint(p, replicated)
+    return p, opt_st, loss
+
+
 def train_step(
     scene: SceneFn,
     params: Any,
@@ -148,30 +178,12 @@ def train_step(
     """One inverse-rendering step: sharded differentiable render, L2 loss,
     gradient all-reduce over ICI (XLA-inserted), replicated optimizer update.
 
-    Returns ``(params, opt_state, loss)``. Jit-cached per (scene, optimizer).
+    Returns ``(params, opt_state, loss)``. Jit-cached per
+    (scene, optimizer, csdf, mesh, config).
     """
-    replicated = NamedSharding(mesh, P())
-
-    @partial(jax.jit, static_argnums=(0, 1, 8), donate_argnums=(2, 3))
-    def _step(scene_fn, opt, p, opt_st, tgt, o, d, c, component_fn=None):
-        def loss_fn(pp):
-            img = render_image_diff(
-                scene_fn, pp, o, d, c, config, csdf=component_fn
-            )
-            return jnp.mean((img - tgt) ** 2)
-
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        # params are replicated; grads reduce over the mesh automatically.
-        updates, opt_st = opt.update(grads, opt_st, p)
-        import optax
-
-        p = optax.apply_updates(p, updates)
-        p = jax.lax.with_sharding_constraint(p, replicated)
-        return p, opt_st, loss
-
-    return _step(
-        scene, optimizer, params, opt_state, target, origins, directions, cone,
-        csdf,
+    return _train_step_jit(
+        scene, optimizer, params, opt_state, target, origins, directions,
+        cone, csdf, mesh, config,
     )
 
 
@@ -268,48 +280,55 @@ def train_step_fused(
 
     Returns ``(params, opt_state, loss)``.
     """
+    h, w = origins.shape[:2]
+    cone_full = jnp.broadcast_to(jnp.asarray(cone, jnp.float32), (h, w))
+    return _train_step_fused_jit(
+        csdf_p, optimizer, params, opt_state, target, origins, directions,
+        cone_full, mesh, config, bb, split, interpret, h, w,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0, 1) + tuple(range(8, 15)),
+    donate_argnums=(2, 3),
+)
+def _train_step_fused_jit(
+    cfn, opt, p, opt_st, tgt, o, d, c, mesh, config, bb, split, interpret,
+    h, w,
+):
+    """Module-level jitted fused step (see ``_train_step_jit`` for why)."""
     from jax.experimental.shard_map import shard_map
 
     from bsdmg_tpu.ops.pallas.diff_kernel import render_loss_grad_pallas
 
     axes = tuple(mesh.axis_names)
-    h, w = origins.shape[:2]
     ray = P(axes[0], axes[1] if len(axes) > 1 else None, None)
     plane = P(axes[0], axes[1] if len(axes) > 1 else None)
 
     @partial(
-        jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3)
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), ray, ray, plane, ray),
+        out_specs=(P(), P()),
+        check_rep=False,
     )
-    def _step(cfn, opt, p, opt_st, tgt, o, d, c):
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(P(), ray, ray, plane, ray),
-            out_specs=(P(), P()),
-            check_rep=False,
+    def local(p_, o_, d_, c_, t_):
+        loss, grads = render_loss_grad_pallas(
+            cfn, p_, t_, o_, d_, c_, config,
+            bb=bb, split=split, interpret=interpret,
+            total_pixels=h * w,
         )
-        def local(p_, o_, d_, c_, t_):
-            loss, grads = render_loss_grad_pallas(
-                cfn, p_, t_, o_, d_, c_, config,
-                bb=bb, split=split, interpret=interpret,
-                total_pixels=h * w,
-            )
-            loss = jax.lax.psum(loss, axes)
-            grads = jax.lax.psum(grads, axes)
-            return loss, grads
+        loss = jax.lax.psum(loss, axes)
+        grads = jax.lax.psum(grads, axes)
+        return loss, grads
 
-        loss, grads = local(p, o, d, c, tgt)
-        updates, opt_st = opt.update(grads, opt_st, p)
-        import optax
+    loss, grads = local(p, o, d, c, tgt)
+    updates, opt_st = opt.update(grads, opt_st, p)
+    import optax
 
-        p = optax.apply_updates(p, updates)
-        return p, opt_st, loss
-
-    cone_full = jnp.broadcast_to(jnp.asarray(cone, jnp.float32), (h, w))
-    return _step(
-        csdf_p, optimizer, params, opt_state, target, origins, directions,
-        cone_full,
-    )
+    p = optax.apply_updates(p, updates)
+    return p, opt_st, loss
 
 
 def render_sharded_pallas(
