@@ -126,17 +126,25 @@ def pixel_cone_radius(px, py, cam_pos, forward, up, right, fov,
 
 
 def render(width, height, cam_pos, forward, up, right, fov,
-           screen_w=None, screen_h=None, sdf=sd_scene):
-    """Full reference render loop (compute_render.cu:21-97) in NumPy."""
+           screen_w=None, screen_h=None, sdf=sd_scene,
+           x0=0, y0=0, tile_w=None, tile_h=None):
+    """Full reference render loop (compute_render.cu:21-97) in NumPy.
+
+    ``x0/y0/tile_w/tile_h`` render only a tile of the full ``width x height``
+    target — the per-pixel camera/cone math still uses the full-image
+    coordinates, so a tile pins the exact operating point (cone radius, ray
+    spread) of the full-resolution render at tile cost."""
     screen_w = screen_w or float(width)
     screen_h = screen_h or float(height)
+    tile_w = tile_w or width - x0
+    tile_h = tile_h or height - y0
     light = np.ones(3) / np.sqrt(3)
     low = np.array([19.0, 9.0, 130.0]) / 255.0
     high = np.array([240.0, 103.0, 24.0]) / 255.0
 
-    img = np.zeros((height, width, 3), np.float32)
-    for y in range(height):
-        for x in range(width):
+    img = np.zeros((tile_h, tile_w, 3), np.float32)
+    for y in range(y0, y0 + tile_h):
+        for x in range(x0, x0 + tile_w):
             d = camera_ray(x, y, cam_pos, forward, up, right, fov,
                            width, height, screen_w, screen_h)
             cone = pixel_cone_radius(x, y, cam_pos, forward, up, right, fov,
@@ -150,5 +158,5 @@ def render(width, height, cam_pos, forward, up, right, fov,
                 color = np.ones(3)
             else:
                 color = np.zeros(3)
-            img[y, x] = aces(color)
+            img[y - y0, x - x0] = aces(color)
     return img

@@ -126,7 +126,7 @@ class TestShading:
 
 
 class TestGoldenRender:
-    @pytest.mark.parametrize("use_grad_normal", [False])
+    @pytest.mark.parametrize("use_grad_normal", [False, True])
     def test_reference_scene_64px(self, use_grad_normal):
         """End-to-end 64x36 render of the reference scene vs the oracle."""
         scene = reference_render_scene().bind()
@@ -179,3 +179,50 @@ class TestCachedGolden:
         diff = np.abs(img - golden).max(axis=-1)
         assert np.mean(diff < 2e-2) > 0.995, f"mismatched: {(diff >= 2e-2).sum()}"
         assert diff.mean() < 1e-3
+
+
+class TestReferenceTargetOperatingPoint:
+    def test_2560x1440_tile_matches_oracle(self):
+        """The reference's actual render target is 2560x1440
+        (src/renderer/mod.rs:10) — a smaller per-pixel cone radius than the
+        1080p goldens. Pin that operating point with a 64x36 tile at the
+        image center (object silhouette in frame): full-resolution ray/cone
+        math, tile-sized cost, fused Pallas kernel (interpret) vs the
+        NumPy oracle's tile render."""
+        from bsdmg_tpu.ops.pallas import compile_scene_csdf
+        from bsdmg_tpu.ops.pallas.csdf import scene_bounds
+        from bsdmg_tpu.ops.pallas.render_kernel import render_image_pallas
+
+        W, H = 2560, 1440
+        TW, TH = 64, 36
+        x0, y0 = (W - TW) // 2, (H - TH) // 2
+
+        scene = reference_render_scene()
+        cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+        origins, dirs, cone = generate_rays(cam, (W, H), (float(W), float(H)))
+        o = origins[y0 : y0 + TH, x0 : x0 + TW]
+        d = dirs[y0 : y0 + TH, x0 : x0 + TW]
+        c = cone[y0 : y0 + TH, x0 : x0 + TW]
+        # the tile's cone radius is the full-res operating point: ~0.75x the
+        # 1080p-golden cone (which measures ~7.7e-4 at the image center)
+        assert 5.0e-4 < float(jnp.max(c)) < 6.5e-4
+
+        img = np.asarray(
+            render_image_pallas(
+                compile_scene_csdf(scene), o, d, c,
+                bb=scene_bounds(scene), interpret=True,
+            )
+        )
+
+        pos = np.asarray(cam.position)
+        fwd, up, right = map(np.asarray, (cam.forward, cam.up, cam.right))
+        golden = oracle.render(
+            W, H, pos, fwd, up, right, np.pi / 4,
+            screen_w=float(W), screen_h=float(H),
+            x0=x0, y0=y0, tile_w=TW, tile_h=TH,
+        )
+        assert golden.shape == (TH, TW, 3)
+
+        diff = np.abs(img - golden).max(axis=-1)
+        assert np.mean(diff < 2e-2) > 0.99, f"mismatched: {(diff >= 2e-2).sum()}"
+        assert diff.mean() < 2e-3
