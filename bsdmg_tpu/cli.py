@@ -365,7 +365,14 @@ def cmd_fit(args) -> None:
 def _fit_image(args, log, origins, dirs, cone) -> None:
     """Image-loss inverse rendering with the fused loss+grad step: render a
     target at the true params, perturb, recover by gradient descent. Each
-    step is `render_loss_and_grad` — on TPU one fused Pallas kernel."""
+    step is `render_loss_and_grad` — on TPU one fused Pallas kernel.
+
+    A JOINT fit of sphere radius (+25%), smooth_k (-30%) and skeleton line
+    width (+30%). Perturbations that large flip ray outcomes, which pure
+    IFT gradients cannot see (step discontinuities — SURVEY §7 hard-part
+    3); the silhouette-aware closest-approach loss (grad/edge.py,
+    ``edge_weight``) supplies the missing boundary gradients, extending the
+    round-2 ±6% basin to beyond ±25%."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -381,11 +388,11 @@ def _fit_image(args, log, origins, dirs, cone) -> None:
         if k not in ("object_center", "object_rotation")
     }
     lo, hi, slack = scene_bounds(scene)
-    bb = (tuple(v - 0.3 for v in lo), tuple(v + 0.3 for v in hi), slack)
+    bb = (tuple(v - 0.6 for v in lo), tuple(v + 0.6 for v in hi), slack)
     far, (nlo, nhi, nslack) = compile_scene_split(scene)
     split = (
         far,
-        (tuple(v - 0.3 for v in nlo), tuple(v + 0.3 for v in nhi), nslack),
+        (tuple(v - 0.6 for v in nlo), tuple(v + 0.6 for v in nhi), nslack),
     )
 
     target = jax.lax.stop_gradient(
@@ -393,36 +400,32 @@ def _fit_image(args, log, origins, dirs, cone) -> None:
             scene.sdf, true_params, origins, dirs, cone, csdf=scene.csdf, bb=bb
         )
     )
-    # fit the sphere radius from a 6% perturbation. IFT gradients carry no
-    # silhouette terms (outcome flips are step discontinuities — SURVEY §7
-    # hard-part 3), so the image-loss estimator is valid in a basin where
-    # interior-shading gradients dominate (~±5-10% here; measured: the AD
-    # gradient flips sign vs the true loss slope beyond r ~ 1.15). Larger
-    # perturbations need edge-aware estimators or the depth-mode fit
-    # (default verb), which masks unstable pixels.
     params = dict(true_params)
-    params["sphere_radius"] = params["sphere_radius"] * 1.06
+    params["sphere_radius"] = params["sphere_radius"] * 1.25
+    params["smooth_k"] = params["smooth_k"] * 0.7
+    params["skeleton_line_width"] = params["skeleton_line_width"] * 1.3
 
-    opt = optax.adam(args.lr * 0.01)
+    opt = optax.adam(args.lr * 0.1)
     opt_state = opt.init(params)
-    fixed = {k: v for k, v in params.items() if k != "sphere_radius"}
     for i in range(args.steps):
         loss, g = render_loss_and_grad(
             scene.sdf, params, target, origins, dirs, cone,
-            csdf=scene.csdf, bb=bb, split=split,
+            csdf=scene.csdf, bb=bb, split=split, edge_weight=1.0,
         )
-        g = {k: (v if k == "sphere_radius" else v * 0.0) for k, v in g.items()}
         updates, opt_state = opt.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
-        params.update(fixed)
         if i % 10 == 0 or i == args.steps - 1:
             log.info(
-                "step %d: loss=%.3e radius=%.4f",
+                "step %d: loss=%.3e radius=%.4f k=%.4f w=%.4f",
                 i, float(loss), float(params["sphere_radius"]),
+                float(params["smooth_k"]),
+                float(params["skeleton_line_width"]),
             )
     log.info(
-        "recovered sphere_radius=%.4f (true 1.0)",
-        float(params["sphere_radius"]),
+        "recovered radius=%.4f (true 1.0) smooth_k=%.4f (true 0.5) "
+        "line_width=%.4f (true 0.1)",
+        float(params["sphere_radius"]), float(params["smooth_k"]),
+        float(params["skeleton_line_width"]),
     )
 
 
@@ -515,6 +518,21 @@ def cmd_bench(args) -> None:
 
             r = benchmark_render_grad()
             results["render_grad"] = {"rays_per_s": r["rays_per_s"]}
+            if args.roofline:
+                from bsdmg_tpu.bench import render_step_stats
+                from bsdmg_tpu.utils.profiling import grad_roofline
+
+                stats = render_step_stats(r["width"], r["height"])
+                roof = grad_roofline(
+                    r["width"], r["height"],
+                    avg_steps=stats["mean_tile_max_steps"],
+                )
+                results["grad_roofline"] = {
+                    **stats,
+                    "speed_of_light_ms": roof.seconds * 1e3,
+                    "pct_of_roofline": 100.0
+                    * roof.efficiency(r["seconds_per_frame"]),
+                }
         if args.which == "scaling":
             from bsdmg_tpu.bench import benchmark_scaling
 

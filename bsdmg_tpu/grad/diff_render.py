@@ -139,7 +139,8 @@ def _render_image_diff_c(
     interpret: bool = False,
     bb: tuple | None = None,
     split=None,
-) -> jax.Array:
+    return_aux: bool = False,
+):
     """Component-form differentiable render (same semantics as the points
     path; gradients via the implicit function theorem at the hit).
 
@@ -147,7 +148,11 @@ def _render_image_diff_c(
     TPU (ops/pallas/diff_kernel.py) — the march carries no gradients (IFT
     reattachment below), so the kernel needs no AD rule. ``bb`` (optional)
     turns on the sky slab skip; it must conservatively bound the surface
-    over the whole parameter trust region of the optimization."""
+    over the whole parameter trust region of the optimization.
+
+    ``return_aux=True`` returns ``(image, aux)`` where ``aux`` is the
+    stopped ``(outcome, min_margin, t_min)`` closest-approach record the
+    silhouette-aware loss consumes (grad/edge.py)."""
     from bsdmg_tpu.ops.pallas.render_kernel import _march
     from bsdmg_tpu.sdf.normals import normal_jvp_c
 
@@ -161,21 +166,29 @@ def _render_image_diff_c(
     stopped = jax.tree.map(jax.lax.stop_gradient, params)
     f0 = lambda x, y, z: csdf(stopped, x, y, z)
 
+    min_m = t_min = None
     if use_pallas:
         from bsdmg_tpu.ops.pallas.diff_kernel import march_params_pallas
 
-        depth, steps, outcome, dfdt = march_params_pallas(
+        outs = march_params_pallas(
             csdf, stopped, origins, directions, cone, config,
-            bb=bb, split=split, interpret=interpret,
+            bb=bb, split=split, interpret=interpret, track_min=return_aux,
         )
+        depth, steps, outcome, dfdt = outs[:4]
+        if return_aux:
+            min_m, t_min = outs[4], outs[5]
         t0 = jax.lax.stop_gradient(depth)
         px, py, pz = ox + t0 * dx, oy + t0 * dy, oz + t0 * dz
     else:
-        depth, steps, outcome, _ = _march(
+        outs = _march(
             f0, config, (ox, oy, oz), (dx, dy, dz), cone,
             jnp.ones(batch, bool), jnp.zeros(batch, jnp.float32),
             jnp.zeros(batch, jnp.int32), config.step_limit,
+            track_min=return_aux,
         )
+        depth, steps, outcome = outs[:3]
+        if return_aux:
+            min_m, t_min = outs[4], outs[5]
         t0 = jax.lax.stop_gradient(depth)
         px, py, pz = ox + t0 * dx, oy + t0 * dy, oz + t0 * dz
         # IFT denominator: df/dt along the ray at the hit, params stopped
@@ -203,7 +216,11 @@ def _render_image_diff_c(
     from bsdmg_tpu.ops.shade import shade_planes
 
     r, g, b = shade_planes(nx, ny, nz, outcome)
-    return jnp.stack([r, g, b], axis=-1)
+    img = jnp.stack([r, g, b], axis=-1)
+    if return_aux:
+        return img, (outcome, jax.lax.stop_gradient(min_m),
+                     jax.lax.stop_gradient(t_min))
+    return img
 
 
 def render_loss_and_grad(
@@ -218,6 +235,10 @@ def render_loss_and_grad(
     bb: tuple | None = None,
     split=None,
     use_fused: bool | None = None,
+    edge_weight: float = 0.0,
+    edge_band: float | None = None,
+    target_miss: jax.Array | None = None,
+    interpret: bool = False,
 ):
     """L2 image loss against ``target`` and its gradient w.r.t. ``params`` —
     the inverse-rendering training step.
@@ -227,26 +248,73 @@ def render_loss_and_grad(
     accumulation — ops/pallas/diff_kernel.py::render_loss_grad_pallas),
     ~2x the per-stage path. Elsewhere it is the plain
     ``jax.value_and_grad`` of the differentiable render (the oracle the
-    fused kernel is tested against)."""
+    fused kernel is tested against).
+
+    ``edge_weight > 0`` adds the silhouette-aware closest-approach loss
+    (grad/edge.py): outcome-mismatched pixels pull the surface toward /
+    away from their rays, extending the fit's convergence basin far beyond
+    the photometric-only ±6%. Requires a component-form ``csdf``.
+    ``target_miss`` overrides the target's miss mask (else classified from
+    RGB); ``edge_band`` defaults to ``4 * config.collision_distance``.
+    """
     if use_fused is None:
         use_fused = (
             csdf is not None
             and jax.default_backend() == "tpu"
             and origins.ndim == 3
         )
+    edge_weight = float(edge_weight)
+    if edge_weight and csdf is None:
+        raise ValueError(
+            "edge_weight > 0 requires a component-form csdf (the closest-"
+            "approach record lives on the SoA march)"
+        )
+    band = (
+        4.0 * config.collision_distance if edge_band is None
+        else float(edge_band)
+    )
     if use_fused:
         from bsdmg_tpu.ops.pallas.diff_kernel import render_loss_grad_pallas
 
         return render_loss_grad_pallas(
             csdf, params, target, origins, directions, cone_radius, config,
-            bb=bb, split=split,
+            bb=bb, split=split, edge_weight=edge_weight, edge_band=band,
+            target_miss=target_miss, interpret=interpret,
         )
 
+    if not edge_weight:
+        def loss_fn(p):
+            img = render_image_diff(
+                scene, p, origins, directions, cone_radius, config,
+                csdf=csdf, bb=bb, split=split,
+            )
+            return jnp.mean((img - target) ** 2)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    from bsdmg_tpu.grad.edge import classify_target_miss, edge_loss_planes
+
+    tgt_state = (
+        classify_target_miss(target) if target_miss is None else target_miss
+    ).astype(jnp.float32)
+    batch = origins.shape[:-1]
+    cone = jnp.broadcast_to(jnp.asarray(cone_radius, jnp.float32), batch)
+    n_pixels = 1
+    for s in batch:
+        n_pixels *= s
+
     def loss_fn(p):
-        img = render_image_diff(
-            scene, p, origins, directions, cone_radius, config, csdf=csdf,
-            bb=bb, split=split,
+        img, (outcome, min_m, t_min) = _render_image_diff_c(
+            csdf, p, origins, directions, cone_radius, config,
+            bb=bb, split=split, return_aux=True, interpret=interpret,
         )
-        return jnp.mean((img - target) ** 2)
+        loss = jnp.mean((img - target) ** 2)
+        edge = edge_loss_planes(
+            lambda x, y, z: csdf(p, x, y, z),
+            origins[..., 0], origins[..., 1], origins[..., 2],
+            directions[..., 0], directions[..., 1], directions[..., 2],
+            cone, t_min, min_m, outcome == COLLISION, tgt_state, band,
+        )
+        return loss + edge_weight * jnp.sum(edge) / n_pixels
 
     return jax.value_and_grad(loss_fn)(params)

@@ -57,15 +57,18 @@ def rebuild_param_tree(read, meta):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def _march_kernel(cfn, meta, config: MarchConfig, budget: int, bb, split):
+def _march_kernel(cfn, meta, config: MarchConfig, budget: int, bb, split,
+                  track_min: bool = False):
     from bsdmg_tpu.ops.pallas.render_kernel import _bb_parts, _slab_cull
 
-    def kernel(
-        prm_ref,
-        ox_ref, oy_ref, oz_ref,
-        dx_ref, dy_ref, dz_ref, cone_ref,
-        depth_ref, steps_ref, outcome_ref, dfdt_ref,
-    ):
+    def kernel(prm_ref, *refs):
+        (
+            ox_ref, oy_ref, oz_ref,
+            dx_ref, dy_ref, dz_ref, cone_ref,
+            depth_ref, steps_ref, outcome_ref, dfdt_ref,
+        ) = refs[:11]
+        if track_min:
+            minm_ref, tmin_ref = refs[11:]
         params = rebuild_param_tree(lambda i: prm_ref[0, i], meta)
         csdf = lambda x, y, z: cfn(params, x, y, z)
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -91,15 +94,19 @@ def _march_kernel(cfn, meta, config: MarchConfig, budget: int, bb, split):
             t_stop = jnp.minimum(t_exit, config.depth_limit)
 
         def run(scene_fn):
-            depth, steps, outcome, _ = _march(
+            outs = _march(
                 scene_fn, config,
                 (ox, oy, oz), (dx, dy, dz), cone,
                 active0, depth0, jnp.zeros(shape, jnp.int32),
-                budget, t_stop=t_stop,
+                budget, t_stop=t_stop, track_min=track_min,
             )
+            depth, steps, outcome = outs[:3]
             depth_ref[:] = depth
             steps_ref[:] = steps
             outcome_ref[:] = outcome
+            if track_min:
+                minm_ref[:] = outs[4]
+                tmin_ref[:] = outs[5]
             # the IFT denominator df/dt at the hit (stop-gradient'ed by the
             # caller anyway, so it can live inside the no-AD kernel): one
             # in-register jvp instead of an XLA-side primal+tangent re-eval
@@ -138,23 +145,28 @@ def _march_kernel(cfn, meta, config: MarchConfig, budget: int, bb, split):
     jax.jit,
     static_argnames=(
         "cfn", "meta", "config", "interpret", "block_rows", "bb", "split",
+        "track_min",
     ),
 )
 def _march_params_call(
     cfn, meta, prm, o_p, d_p, cone_p, config, interpret, block_rows, bb=None,
-    split=None,
+    split=None, track_min=False,
 ):
     hp, wp = cone_p.shape
     spec = _tile_spec(block_rows)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     f32 = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
     i32 = jax.ShapeDtypeStruct((hp, wp), jnp.int32)
+    n_out = 6 if track_min else 4
+    out_shape = [f32, i32, i32, f32] + ([f32, f32] if track_min else [])
     return pl.pallas_call(
-        _march_kernel(cfn, meta, config, config.step_limit, bb, split),
+        _march_kernel(
+            cfn, meta, config, config.step_limit, bb, split, track_min
+        ),
         grid=(hp // block_rows, wp // TILE_L),
         in_specs=[smem] + [spec] * 7,
-        out_specs=[spec] * 4,
-        out_shape=[f32, i32, i32, f32],
+        out_specs=[spec] * n_out,
+        out_shape=out_shape,
         interpret=interpret,
     )(
         prm,
@@ -175,6 +187,7 @@ def march_params_pallas(
     bb: tuple | None = None,
     split=None,
     interpret: bool = False,
+    track_min: bool = False,
 ):
     """Sphere-trace an (H, W) ray image under *runtime* parameters.
 
@@ -189,7 +202,9 @@ def march_params_pallas(
 
     Returns ``(depth, steps, outcome, dfdt)`` — ``dfdt`` is the SDF's
     directional derivative along the ray at the hit (the IFT denominator,
-    computed in-register)."""
+    computed in-register). ``track_min=True`` appends ``(min_margin,
+    t_min)``, the closest-approach record silhouette-aware gradients need
+    (grad/edge.py; slab-culled rays carry the ``UNTRACKED`` sentinel)."""
     from bsdmg_tpu.ops.pallas.render_kernel import (
         _SWIZZLED_BLOCK_ROWS,
         _unswizzle,
@@ -204,7 +219,7 @@ def march_params_pallas(
     prm, meta = flatten_param_tree(params)
     outs = _march_params_call(
         cfn, meta, prm, o_s, d_s, c_s, config, interpret,
-        _SWIZZLED_BLOCK_ROWS, bb, split,
+        _SWIZZLED_BLOCK_ROWS, bb, split, track_min,
     )
     return tuple(_unswizzle(x[:m], hp, wp)[:h, :w] for x in outs)
 
@@ -215,7 +230,8 @@ def march_params_pallas(
 
 
 def _loss_grad_kernel(cfn, meta, n_prm: int, config: MarchConfig, bb, split,
-                      inv_denom_elems: float):
+                      inv_denom_elems: float, edge_weight: float = 0.0,
+                      edge_band: float = 0.0, inv_pixels: float = 0.0):
     """One kernel = the whole training step's compute: stopped march, IFT
     reattachment, shading, L2 loss against the target AND dL/dparams.
 
@@ -224,18 +240,29 @@ def _loss_grad_kernel(cfn, meta, n_prm: int, config: MarchConfig, bb, split,
     lowers to ordinary VPU ops, with per-tile gradient partial sums
     accumulated into an SMEM output across the sequential grid. No XLA-side
     autodiff graph, no HBM round trips between forward and backward.
+
+    ``edge_weight > 0`` fuses the silhouette-aware closest-approach loss
+    (grad/edge.py) into the same kernel: the march additionally tracks the
+    per-ray minimum cone margin and its depth, and outcome-mismatched
+    pixels (vs the target-state input plane) add envelope-theorem hinge
+    terms inside the differentiated ``pixel_loss`` — one extra SDF eval at
+    the recorded point, zero extra kernel launches.
     """
+    from bsdmg_tpu.grad.edge import edge_loss_planes
     from bsdmg_tpu.ops.pallas.render_kernel import _bb_parts, _slab_cull
     from bsdmg_tpu.ops.shade import shade_planes
     from bsdmg_tpu.ops.trace import COLLISION
 
-    def kernel(
-        prm_ref,
-        ox_ref, oy_ref, oz_ref,
-        dx_ref, dy_ref, dz_ref, cone_ref,
-        tr_ref, tg_ref, tb_ref,
-        acc_ref,
-    ):
+    edge = edge_weight != 0.0
+
+    def kernel(prm_ref, *refs):
+        (
+            ox_ref, oy_ref, oz_ref,
+            dx_ref, dy_ref, dz_ref, cone_ref,
+            tr_ref, tg_ref, tb_ref,
+        ) = refs[:10]
+        ts_ref = refs[10] if edge else None
+        acc_ref = refs[-1]
         @pl.when(pl.program_id(0) == 0)
         def _():
             for i in range(n_prm + 1):
@@ -265,11 +292,14 @@ def _loss_grad_kernel(cfn, meta, n_prm: int, config: MarchConfig, bb, split,
             t_stop = jnp.minimum(t_exit, config.depth_limit)
 
         def tile_loss_grad(march_fn):
-            depth, _, outcome, _ = _march(
+            outs = _march(
                 march_fn, config, (ox, oy, oz), (dx, dy, dz), cone,
                 active0, depth0, jnp.zeros(shape, jnp.int32),
-                config.step_limit, t_stop=t_stop,
+                config.step_limit, t_stop=t_stop, track_min=edge,
             )
+            depth, _, outcome = outs[:3]
+            if edge:
+                min_m, t_min = outs[4], outs[5]
             t0 = depth  # constant w.r.t. prm (march used captured prm0)
             px, py, pz = ox + t0 * dx, oy + t0 * dy, oz + t0 * dz
             _, dfdt = jax.jvp(march_fn, (px, py, pz), (dx, dy, dz))
@@ -298,7 +328,14 @@ def _loss_grad_kernel(cfn, meta, n_prm: int, config: MarchConfig, bb, split,
                     + (g - tg_ref[:]) ** 2
                     + (b - tb_ref[:]) ** 2
                 )
-                return jnp.sum(err) * inv_denom_elems
+                total = jnp.sum(err) * inv_denom_elems
+                if edge:
+                    e = edge_loss_planes(
+                        f, ox, oy, oz, dx, dy, dz, cone,
+                        t_min, min_m, collided, ts_ref[:], edge_band,
+                    )
+                    total = total + edge_weight * jnp.sum(e) * inv_pixels
+                return total
 
             loss, grads = jax.value_and_grad(pixel_loss)(prm0)
             acc_ref[0, 0] = acc_ref[0, 0] + loss
@@ -334,15 +371,17 @@ def _loss_grad_kernel(cfn, meta, n_prm: int, config: MarchConfig, bb, split,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfn", "meta", "n_prm", "n_pixels", "config", "interpret", "bb", "split",
+        "cfn", "meta", "n_prm", "n_pixels", "config", "interpret", "bb",
+        "split", "edge_weight", "edge_band",
     ),
 )
 def _loss_grad_call(
     cfn, meta, n_prm, n_pixels, prm, o_s, d_s, c_s, t_r, t_g, t_b, config,
-    bb, split, interpret,
+    bb, split, interpret, edge_weight=0.0, edge_band=0.0, t_state=None,
 ):
     from bsdmg_tpu.ops.pallas.render_kernel import _SWIZZLED_BLOCK_ROWS
 
+    edge = edge_weight != 0.0
     rows, _ = c_s.shape
     spec = pl.BlockSpec(
         (_SWIZZLED_BLOCK_ROWS, TILE_L), lambda i: (i, 0),
@@ -353,21 +392,27 @@ def _loss_grad_call(
         (1, n_prm + 1), lambda i: (0, 0), memory_space=pltpu.SMEM
     )
     # padded lanes contribute exactly zero; normalize by the TRUE pixel count
-    out = pl.pallas_call(
-        _loss_grad_kernel(
-            cfn, meta, n_prm, config, bb, split, 1.0 / (3.0 * n_pixels)
-        ),
-        grid=(rows // _SWIZZLED_BLOCK_ROWS,),
-        in_specs=[smem_in] + [spec] * 10,
-        out_specs=acc,
-        out_shape=jax.ShapeDtypeStruct((1, n_prm + 1), jnp.float32),
-        interpret=interpret,
-    )(
+    operands = [
         prm,
         o_s[..., 0], o_s[..., 1], o_s[..., 2],
         d_s[..., 0], d_s[..., 1], d_s[..., 2],
         c_s, t_r, t_g, t_b,
-    )
+    ]
+    n_planes = 10
+    if edge:
+        operands.append(t_state)
+        n_planes = 11
+    out = pl.pallas_call(
+        _loss_grad_kernel(
+            cfn, meta, n_prm, config, bb, split, 1.0 / (3.0 * n_pixels),
+            edge_weight, edge_band, 1.0 / n_pixels,
+        ),
+        grid=(rows // _SWIZZLED_BLOCK_ROWS,),
+        in_specs=[smem_in] + [spec] * n_planes,
+        out_specs=acc,
+        out_shape=jax.ShapeDtypeStruct((1, n_prm + 1), jnp.float32),
+        interpret=interpret,
+    )(*operands)
     return out[0, 0], out[0, 1:]
 
 
@@ -384,6 +429,9 @@ def render_loss_grad_pallas(
     split=None,
     interpret: bool = False,
     total_pixels: int | None = None,
+    edge_weight: float = 0.0,
+    edge_band: float | None = None,
+    target_miss: jax.Array | None = None,
 ):
     """Fused inverse-rendering step: ``(loss, grads)`` of the L2 image loss
     w.r.t. the SDF parameter pytree, computed end-to-end in ONE Pallas
@@ -397,6 +445,10 @@ def render_loss_grad_pallas(
     ``total_pixels`` overrides the mean's denominator — the sharded
     training step passes the GLOBAL pixel count so per-shard partial sums
     ``psum`` into the exact global mean.
+
+    ``edge_weight > 0`` fuses the silhouette-aware closest-approach loss
+    (grad/edge.py) into the kernel; ``target_miss`` (bool, True = target
+    shows no surface) overrides the RGB-based target classification.
     """
     from bsdmg_tpu.ops.pallas.render_kernel import (
         _SWIZZLED_BLOCK_ROWS,
@@ -419,11 +471,26 @@ def render_loss_grad_pallas(
     for a in range(3):
         t = _pad2(target[..., a], hp, wp, 0.0)
         t_planes.append(_pad_rows(_swizzle(t), mp, 0.0))
+    edge_weight = float(edge_weight)
+    t_state = None
+    if edge_weight:
+        from bsdmg_tpu.grad.edge import classify_target_miss
+
+        miss = (
+            classify_target_miss(target) if target_miss is None else target_miss
+        ).astype(jnp.float32)
+        # pad lanes get the ignore sentinel (-1): a padded ray's degenerate
+        # march must never produce an edge pull
+        t_state = _pad_rows(_swizzle(_pad2(miss, hp, wp, -1.0)), mp, -1.0)
+    band = (
+        4.0 * config.collision_distance if edge_band is None
+        else float(edge_band)
+    )
     prm, meta = flatten_param_tree(jax.tree.map(jax.lax.stop_gradient, params))
     n_prm = prm.shape[1]
     loss, flat_grads = _loss_grad_call(
         cfn, meta, n_prm, total_pixels or (h * w), prm, o_s, d_s, c_s,
-        *t_planes, config, bb, split, interpret,
+        *t_planes, config, bb, split, interpret, edge_weight, band, t_state,
     )
     # unflatten back into the params pytree
     treedef, shapes = meta

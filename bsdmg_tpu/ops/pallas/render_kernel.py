@@ -125,8 +125,17 @@ def _slab_cull(ox, oy, oz, dx, dy, dz, lo, hi, cone, config: MarchConfig,
 
 
 def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budget,
-           chunk: int = 8, omega: float = 1.0, t_stop=None):
+           chunk: int = 8, omega: float = 1.0, t_stop=None,
+           track_min: bool = False):
     """March loop on planes. Returns (depth, steps, outcome, active).
+
+    ``track_min=True`` additionally returns ``(min_margin, t_min)`` — the
+    per-ray minimum of the cone margin ``f - cone*t`` over every sampled
+    point and the depth where it occurred (1e9 / 0 for never-sampled rays).
+    This is the closest-approach record that silhouette-aware gradients
+    differentiate via the envelope theorem (grad/diff_render.py). Adds two
+    loop-carried planes + one compare per step, so it is opt-in (the
+    forward render kernel never pays for it). Exact stepping only.
 
     ``steps0`` carries prior progress (phase B resumes phase A's counter);
     ``budget`` caps total per-ray steps at ``min(budget, config.step_limit)``.
@@ -180,6 +189,25 @@ def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budge
         active, steps, outcome = finish(advance, depth, steps, outcome)
         return (depth, steps, outcome, active.astype(jnp.int32))
 
+    def step_exact_track(_, carry):
+        depth, steps, outcome, active_i, min_m, t_min = carry
+        active = active_i > 0
+        cd = cone * depth
+        dist = sample(depth)
+
+        m = dist - cd
+        upd = active & (m < min_m)
+        min_m = jnp.where(upd, m, min_m)
+        t_min = jnp.where(upd, depth, t_min)
+
+        hit = active & (dist <= cd + eps)
+        outcome = jnp.where(hit, COLLISION, outcome)
+
+        advance = active & ~hit
+        depth = jnp.where(advance, depth + dist - cd, depth)
+        active, steps, outcome = finish(advance, depth, steps, outcome)
+        return (depth, steps, outcome, active.astype(jnp.int32), min_m, t_min)
+
     def step_relaxed(_, carry):
         depth, steps, outcome, active_i, prev_r, step_len, om = carry
         active = active_i > 0
@@ -211,7 +239,13 @@ def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budge
     def cond(carry):
         return carry[-1] > 0
 
-    step_body = step_relaxed if relax else step_exact
+    if track_min and relax:
+        raise NotImplementedError("track_min requires exact stepping (omega=1)")
+    step_body = (
+        step_relaxed if relax
+        else step_exact_track if track_min
+        else step_exact
+    )
 
     def body(carry):
         state = jax.lax.fori_loop(0, chunk, step_body, carry[0])
@@ -230,6 +264,11 @@ def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budge
             jnp.zeros_like(depth0),
             jnp.full_like(depth0, float(omega)),
         )
+    elif track_min:
+        state0 = state0 + (
+            jnp.full_like(depth0, 1e9),
+            jnp.zeros_like(depth0),
+        )
     state, _ = jax.lax.while_loop(
         cond, body, (state0, jnp.sum(active0_i))
     )
@@ -238,6 +277,8 @@ def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budge
     unresolved = (active_i > 0) | (
         (outcome == STEP_LIMIT) & (steps >= step_cap) & (steps < config.step_limit)
     )
+    if track_min:
+        return depth, steps, outcome, unresolved, state[4], state[5]
     return depth, steps, outcome, unresolved
 
 

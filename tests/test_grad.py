@@ -299,3 +299,121 @@ def test_fused_loss_grad_matches_oracle():
             np.asarray(g[k]), np.asarray(ref_g[k]), rtol=1e-3, atol=1e-5,
             err_msg=k,
         )
+
+
+class TestSilhouetteAwareGradients:
+    """The envelope-theorem closest-approach loss (grad/edge.py): boundary
+    gradients for outcome-flipping perturbations that pure IFT cannot see.
+
+    Round-2 basin measurement: the photometric-only AD gradient flips sign
+    vs the true loss slope beyond r ~ 1.15 (VERDICT r2 #3). The edge term
+    must extend the usable basin to at least +-25% (and is probed at +-50%).
+    """
+
+    W, H = 96, 54
+
+    @classmethod
+    def _setup(cls):
+        from bsdmg_tpu.models import reference_render_scene
+        from bsdmg_tpu.ops.pallas.csdf import scene_bounds
+
+        scene = reference_render_scene()
+        cam = look_at((5.0, 2.0, -5.0), fov=np.pi / 4)
+        origins, dirs, cone = generate_rays(
+            cam, (cls.W, cls.H), (1920.0, 1080.0)
+        )
+        true_params = {
+            k: v
+            for k, v in scene.params.items()
+            if k not in ("object_center", "object_rotation")
+        }
+        lo, hi, slack = scene_bounds(scene)
+        bb = (tuple(v - 0.6 for v in lo), tuple(v + 0.6 for v in hi), slack)
+        target = jax.lax.stop_gradient(
+            render_image_diff(
+                scene.sdf, true_params, origins, dirs, cone,
+                csdf=scene.csdf, bb=bb,
+            )
+        )
+        return scene, origins, dirs, cone, true_params, bb, target
+
+    @pytest.mark.parametrize("factor", [0.5, 0.75, 1.25, 1.5])
+    def test_gradient_sign_across_extended_basin(self, factor):
+        """d(loss)/d(radius) must point back toward the truth for radius
+        perturbations far outside the photometric-only basin."""
+        scene, o, d, c, true_params, bb, target = self._setup()
+        p = dict(true_params)
+        p["sphere_radius"] = p["sphere_radius"] * factor
+        _, g = render_loss_and_grad(
+            scene.sdf, p, target, o, d, c, csdf=scene.csdf, bb=bb,
+            edge_weight=1.0,
+        )
+        gr = float(g["sphere_radius"])
+        if factor > 1.0:
+            assert gr > 0, f"gradient {gr} should push radius down at {factor}x"
+        else:
+            assert gr < 0, f"gradient {gr} should push radius up at {factor}x"
+
+    def test_fused_edge_kernel_matches_oracle(self):
+        """Fused Pallas loss+grad with the edge term (interpret mode) ==
+        the XLA edge-aware oracle, including the closest-approach record."""
+        from bsdmg_tpu.ops.pallas.diff_kernel import render_loss_grad_pallas
+
+        scene, o, d, c, true_params, bb, target = self._setup()
+        p = dict(true_params)
+        p["sphere_radius"] = p["sphere_radius"] * 1.25
+        ref_loss, ref_g = render_loss_and_grad(
+            scene.sdf, p, target, o, d, c, csdf=scene.csdf, bb=bb,
+            edge_weight=1.0, use_fused=False,
+        )
+        loss, g = render_loss_grad_pallas(
+            scene.csdf, p, target, o, d, c, bb=bb, edge_weight=1.0,
+            interpret=True,
+        )
+        assert float(loss) == pytest.approx(float(ref_loss), rel=1e-4)
+        for k in ref_g:
+            np.testing.assert_allclose(
+                np.asarray(g[k]), np.asarray(ref_g[k]), rtol=1e-3, atol=1e-6,
+                err_msg=k,
+            )
+
+    def test_edge_weight_zero_is_photometric_loss(self):
+        """edge_weight=0 must be bit-identical to the plain photometric
+        path (the edge machinery is strictly opt-in)."""
+        scene, o, d, c, true_params, bb, target = self._setup()
+        p = dict(true_params)
+        p["sphere_radius"] = p["sphere_radius"] * 1.1
+        l0, g0 = render_loss_and_grad(
+            scene.sdf, p, target, o, d, c, csdf=scene.csdf, bb=bb,
+        )
+        l1, g1 = render_loss_and_grad(
+            scene.sdf, p, target, o, d, c, csdf=scene.csdf, bb=bb,
+            edge_weight=0.0,
+        )
+        assert float(l0) == float(l1)
+        for k in g0:
+            np.testing.assert_array_equal(np.asarray(g0[k]), np.asarray(g1[k]))
+
+    def test_joint_fit_recovers_25pct_perturbation(self):
+        """The VERDICT r2 #7 acceptance: a 25% radius perturbation (plus
+        30% in smooth_k and line width) is jointly recovered by adam on the
+        edge-aware loss."""
+        import optax
+
+        scene, o, d, c, true_params, bb, target = self._setup()
+        params = dict(true_params)
+        params["sphere_radius"] = params["sphere_radius"] * 1.25
+        params["smooth_k"] = params["smooth_k"] * 0.7
+        params["skeleton_line_width"] = params["skeleton_line_width"] * 1.3
+
+        opt = optax.adam(2e-2)
+        opt_state = opt.init(params)
+        for _ in range(50):
+            _, g = render_loss_and_grad(
+                scene.sdf, params, target, o, d, c, csdf=scene.csdf, bb=bb,
+                edge_weight=1.0,
+            )
+            updates, opt_state = opt.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        assert abs(float(params["sphere_radius"]) - 1.0) < 0.05
+        assert abs(float(params["skeleton_line_width"]) - 0.1) < 0.02
