@@ -35,6 +35,22 @@ def _add_scene_arg(p: argparse.ArgumentParser) -> None:
 
 
 def _get_scene(name: str):
+    """Resolve a scene name. ``mesh:path.obj[:RES]`` loads a triangle-mesh
+    asset and bakes it into a grid SDF scene (the reference ships OBJ assets
+    loadable via bevy_obj but unused by any code path, src/main.rs:65 —
+    here they are first-class render/mesh targets)."""
+    if name.startswith("mesh:"):
+        rest = name[len("mesh:"):]
+        resolution = 128
+        if ":" in rest:
+            rest, _, res_s = rest.rpartition(":")
+            resolution = int(res_s)
+        from bsdmg_tpu.mesh.export import load_obj
+        from bsdmg_tpu.models.mesh_sdf import mesh_scene
+
+        src = load_obj(rest)
+        scene, _ = mesh_scene(src.vertices, src.faces, resolution=resolution)
+        return scene
     from bsdmg_tpu.models import get_scene
 
     return get_scene(name)
@@ -72,6 +88,15 @@ def _make_renderer(scene, prefer_pallas: bool | None = None):
             return lambda o, d, c: render_image_pallas(
                 csdf, o, d, c, bb=bb, split=split
             )
+    if scene.csdf is not None:
+        # component-form (SoA) fallback: full lane occupancy (~30x the AoS
+        # points path) for scenes the Pallas kernel can't bake — notably
+        # grid-SDF mesh assets, whose table gathers don't lower in Mosaic
+        from bsdmg_tpu.ops.shade import render_image_c
+
+        params = scene.params
+        cfn = scene.csdf
+        return jax.jit(lambda o, d, c: render_image_c(cfn, params, o, d, c))
     sdf = scene.bind()
     return jax.jit(lambda o, d, c: render_image(sdf, o, d, c))
 
