@@ -103,6 +103,25 @@ class MeshGenConfig:
     #: for parity.
     interpolate_edges: bool = False
 
+    #: Per-voxel crossing-edge budget for the Newton-projection stage. Of a
+    #: voxel's 12 edges only the sign-crossing ones are ever referenced by a
+    #: triangle (mean 4, max 6 measured on smooth scenes), so projecting a
+    #: rank-compacted (N, edge_budget) layout instead of all (N, 12) lanes
+    #: roughly doubles projection throughput. Voxels with more crossing
+    #: edges (checkerboard MC cases, seen only on fractal scenes) have their
+    #: triangles dropped and counted in ``TriangleSoup.edge_overflow``; the
+    #: pipeline wrappers detect this and re-extract with the full 12-lane
+    #: layout (= ``edge_budget=12``, bit-identical to the reference flow).
+    edge_budget: int = 6
+
+    #: SDF-side normal used by the winding fix (compute_mesh_generation.cu:
+    #: 103-113 compares the geometric triangle normal against an fd4 normal
+    #: at the centroid). "vertex_mean" reuses the already-computed vertex
+    #: normals (flip decisions agree 100% on all smooth test scenes and
+    #: avoid the centroid stencil's 60 SDF evals/voxel); "centroid_fd4" is
+    #: the reference's exact estimator.
+    winding_normals: str = "vertex_mean"
+
     normal_epsilon: float = 1e-3
 
     @property

@@ -52,12 +52,23 @@ def field_to_triangles(
     config: MeshGenConfig = MeshGenConfig(),
     csdf=None,
 ) -> TriangleSoup:
-    """Marching cubes over a voxel field (cf. src/cuda/mod.rs:204-261)."""
+    """Marching cubes over a voxel field (cf. src/cuda/mod.rs:204-261).
+
+    Voxels with more crossing edges than ``config.edge_budget`` (checkerboard
+    MC cases — fractal scenes only) overflow the compacted projection layout;
+    on overflow the extraction reruns once with the full 12-lane layout so
+    the result is always exact."""
     lowers = field.lowers
-    return _extract(
+    soup = _extract(
         sdf, lowers, jnp.float32(field.voxel_size), jnp.int32(field.count), config,
         csdf,
     )
+    if config.edge_budget < 12 and int(soup.edge_overflow) > 0:
+        soup = _extract(
+            sdf, lowers, jnp.float32(field.voxel_size), jnp.int32(field.count),
+            dataclasses.replace(config, edge_budget=12), csdf,
+        )
+    return soup
 
 
 def triangles_to_mesh(
@@ -113,6 +124,11 @@ def extract_mesh_chunked(
             pad = jnp.full((end - field.capacity, 3), 1e6, jnp.float32)
             chunk = jnp.concatenate([field.lowers[start:], pad], axis=0)
         soup = _extract(sdf, chunk, voxel_size, jnp.int32(n), config, csdf)
+        if config.edge_budget < 12 and int(soup.edge_overflow) > 0:
+            soup = _extract(
+                sdf, chunk, voxel_size, jnp.int32(n),
+                dataclasses.replace(config, edge_budget=12), csdf,
+            )
         valid = np.asarray(soup.valid).reshape(-1)
         if valid.any():
             positions_acc.append(np.asarray(soup.positions).reshape(-1, 3, 3)[valid])

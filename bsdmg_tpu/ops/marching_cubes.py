@@ -50,11 +50,17 @@ class TriangleSoup(NamedTuple):
     """Fixed-budget triangle emission: ``(N, 5)`` slots with a validity mask.
 
     Replaces the reference's NaN-padded ``Triangle*`` buffer
-    (compute_mesh_generation.cu:116-118)."""
+    (compute_mesh_generation.cu:116-118). Invalid slots are zeroed.
+
+    ``edge_overflow`` counts crossing edges beyond ``config.edge_budget``
+    (0 for smooth scenes). When nonzero, the affected voxels' triangles are
+    marked invalid; callers that need them re-extract with
+    ``edge_budget=12`` (see mesh/pipeline.py)."""
 
     positions: jax.Array  # (N, 5, 3 verts, 3) float32
     normals: jax.Array  # (N, 5, 3 verts, 3) float32
     valid: jax.Array  # (N, 5) bool
+    edge_overflow: jax.Array | int = 0
 
 
 def corner_points(lowers: jax.Array, voxel_size) -> jax.Array:
@@ -92,22 +98,25 @@ def _grad_fd4_c(csdf, x, y, z, eps):
     return gx, gy, gz
 
 
-def _grad_jvp_c(csdf, x, y, z):
-    one = jnp.ones_like(x)
-    zero = jnp.zeros_like(x)
-    _, gx = jax.jvp(csdf, (x, y, z), (one, zero, zero))
-    _, gy = jax.jvp(csdf, (x, y, z), (zero, one, zero))
-    _, gz = jax.jvp(csdf, (x, y, z), (zero, zero, one))
-    return gx, gy, gz
+def _value_and_grad_vjp_c(csdf, x, y, z):
+    """SDF value + all three partials in one forward + one reverse pass
+    (identical formula to ops/pallas/mesh_kernel.py::_value_and_grad_vjp so
+    the oracle and the kernel stay twins)."""
+    sd, vjp_fn = jax.vjp(csdf, x, y, z)
+    gx, gy, gz = vjp_fn(jnp.ones_like(sd))
+    return sd, gx, gy, gz
 
 
 def _project_edges_xla(csdf, x, y, z, active, *, iters, tol, eps, use_grad):
     """Whole-batch Newton projection + fd4 normals — the CPU/oracle twin of
     ops/pallas/mesh_kernel.py::project_edges_pallas (same update formulas,
     same guards, so the two paths agree to float-fusion noise)."""
-    grad_fn = _grad_jvp_c if use_grad else (
-        lambda f, a, b, c: _grad_fd4_c(f, a, b, c, eps)
-    )
+    if use_grad:
+        val_grad = lambda a, b, c: _value_and_grad_vjp_c(csdf, a, b, c)
+    else:
+        val_grad = lambda a, b, c: (
+            csdf(a, b, c), *_grad_fd4_c(csdf, a, b, c, eps)
+        )
 
     def cond(carry):
         gx, gy, gz, todo, i = carry
@@ -116,8 +125,7 @@ def _project_edges_xla(csdf, x, y, z, active, *, iters, tol, eps, use_grad):
     def body(carry):
         gx, gy, gz, todo, i = carry
         live = todo > 0
-        sd = csdf(gx, gy, gz)
-        ngx, ngy, ngz = grad_fn(csdf, gx, gy, gz)
+        sd, ngx, ngy, ngz = val_grad(gx, gy, gz)
         inv = jax.lax.rsqrt(jnp.maximum(ngx * ngx + ngy * ngy + ngz * ngz, 1e-24))
         gx = jnp.where(live, gx - sd * ngx * inv, gx)
         gy = jnp.where(live, gy - sd * ngy * inv, gy)
@@ -209,10 +217,55 @@ def extract_triangles(
         sy = safe[:, 1:2] + mids[None, :, 1]
         sz = safe[:, 2:3] + mids[None, :, 2]
 
-    flat_act = active_e.reshape(-1)
-    fx = jnp.where(flat_act, sx.reshape(-1), 1e6)
-    fy = jnp.where(flat_act, sy.reshape(-1), 1e6)
-    fz = jnp.where(flat_act, sz.reshape(-1), 1e6)
+    # rank-compact crossing edges (edge_budget < 12): of the 12 edge lanes
+    # only ~4 cross on smooth scenes, and uniformly spread actives keep
+    # EVERY projection tile iterating — packing each voxel's crossing edges
+    # into the first `budget` lanes halves the lanes the Newton kernel
+    # streams. Pure rank-select vector ops: no sort, no gather (both cost
+    # per row on this backend — see ops/compact.py).
+    budget = min(max(int(config.edge_budget), 1), 12)
+    compacting = budget < 12
+    idx = jnp.maximum(tri_edges.reshape(n, 5 * 3), 0)  # (N, 15) edge ids
+
+    def pick12(plane12):
+        # triangle slots select a per-edge plane: 12 wheres per plane —
+        # no dynamic gather (row gathers are pathological on this backend)
+        out = jnp.broadcast_to(plane12[:, 0:1], idx.shape)
+        for e in range(1, 12):
+            out = jnp.where(idx == e, plane12[:, e : e + 1], out)
+        return out  # (N, 15)
+
+    if compacting:
+        acti = active_e.astype(jnp.int32)
+        rank = jnp.cumsum(acti, axis=1) - acti  # exclusive rank (N, 12)
+        nact = jnp.sum(acti, axis=1)  # (N,)
+        edge_overflow = jnp.sum(jnp.maximum(nact - budget, 0))
+
+        def compact12(plane):
+            cols = []
+            for j in range(budget):
+                acc = jnp.full((n,), 1e6, plane.dtype)
+                for e in range(12):
+                    acc = jnp.where(
+                        (rank[:, e] == j) & active_e[:, e], plane[:, e], acc
+                    )
+                cols.append(acc)
+            return jnp.stack(cols, axis=1)  # (N, budget)
+
+        gx = compact12(sx).reshape(-1)
+        gy = compact12(sy).reshape(-1)
+        gz = compact12(sz).reshape(-1)
+        flat_act = (
+            jnp.arange(budget)[None, :] < jnp.minimum(nact, budget)[:, None]
+        ).reshape(-1)
+        cols_out = budget
+    else:
+        edge_overflow = jnp.int32(0)
+        flat_act = active_e.reshape(-1)
+        gx = jnp.where(flat_act, sx.reshape(-1), 1e6)
+        gy = jnp.where(flat_act, sy.reshape(-1), 1e6)
+        gz = jnp.where(flat_act, sz.reshape(-1), 1e6)
+        cols_out = 12
 
     # Newton projection of every crossing edge onto the isosurface
     # (compute_mesh_generation.cu:95-97; bounded per MeshGenConfig) + the
@@ -222,30 +275,40 @@ def extract_triangles(
         from bsdmg_tpu.ops.pallas.mesh_kernel import project_edges_pallas
 
         px, py, pz, nx, ny, nz = project_edges_pallas(
-            csdf, fx, fy, fz, flat_act,
+            csdf, gx, gy, gz, flat_act,
             iters=config.newton_iters, tol=config.newton_tolerance,
             eps=config.normal_epsilon, use_grad=use_grad, interpret=interpret,
         )
     else:
         px, py, pz, nx, ny, nz = _project_edges_xla(
-            csdf, fx, fy, fz, flat_act,
+            csdf, gx, gy, gz, flat_act,
             iters=config.newton_iters, tol=config.newton_tolerance,
             eps=config.normal_epsilon, use_grad=use_grad,
         )
     planes = [
-        jnp.where(flat_act, p, 0.0).reshape(n, 12)
+        jnp.where(flat_act, p, 0.0).reshape(n, cols_out)
         for p in (px, py, pz, nx, ny, nz)
     ]
 
-    # triangle slots select their edge's projection: 12 wheres per plane —
-    # no dynamic gather (row gathers are pathological on this backend)
-    idx = jnp.maximum(tri_edges.reshape(n, 5 * 3), 0)  # (N, 15)
+    if compacting:
+        # slots address compacted lanes through their edge's rank: pick the
+        # rank (12 wheres, once), then select among `budget` compacted
+        # columns — strictly fewer selects than the uncompacted 12/plane
+        slot = pick12(rank)  # (N, 15)
+        over = slot >= budget  # only possible where nact > budget
 
-    def pick(plane12):
-        out = jnp.broadcast_to(plane12[:, 0:1], idx.shape)
-        for e in range(1, 12):
-            out = jnp.where(idx == e, plane12[:, e : e + 1], out)
-        return out.reshape(n, 5, 3)
+        def pick(plane_c):
+            out = jnp.broadcast_to(plane_c[:, 0:1], slot.shape)
+            for j in range(1, budget):
+                out = jnp.where(slot == j, plane_c[:, j : j + 1], out)
+            return out.reshape(n, 5, 3)
+
+        # drop (and count) triangles touching beyond-budget edges; the
+        # pipeline wrappers re-extract those fields with edge_budget=12
+        tri_valid = tri_valid & ~jnp.any(over.reshape(n, 5, 3), axis=-1)
+    else:
+        def pick(plane12):
+            return pick12(plane12).reshape(n, 5, 3)
 
     vx, vy, vz, nx_, ny_, nz_ = (pick(p) for p in planes)
 
@@ -256,15 +319,23 @@ def extract_triangles(
     gx_ = e1y * e2z - e1z * e2y  # (N, 5)
     gy_ = e1z * e2x - e1x * e2z
     gz_ = e1x * e2y - e1y * e2x
-    mx = (vx[..., 0] + vx[..., 1] + vx[..., 2]) / 3.0
-    my = (vy[..., 0] + vy[..., 1] + vy[..., 2]) / 3.0
-    mz = (vz[..., 0] + vz[..., 1] + vz[..., 2]) / 3.0
-    ax_, ay_, az_ = _grad_fd4_c(
-        csdf, mx.reshape(-1), my.reshape(-1), mz.reshape(-1), config.normal_epsilon
-    )
-    flip = (
-        gx_ * ax_.reshape(n, 5) + gy_ * ay_.reshape(n, 5) + gz_ * az_.reshape(n, 5)
-    ) <= 0.0  # (N, 5)
+    if config.winding_normals == "vertex_mean":
+        # the vertex normals are already fd4-at-isosurface; their (unscaled)
+        # sum gives the same flip sign as the centroid stencil on every
+        # smooth test scene without 60 extra SDF evals/voxel
+        ax5 = nx_[..., 0] + nx_[..., 1] + nx_[..., 2]  # (N, 5)
+        ay5 = ny_[..., 0] + ny_[..., 1] + ny_[..., 2]
+        az5 = nz_[..., 0] + nz_[..., 1] + nz_[..., 2]
+    else:
+        mx = (vx[..., 0] + vx[..., 1] + vx[..., 2]) / 3.0
+        my = (vy[..., 0] + vy[..., 1] + vy[..., 2]) / 3.0
+        mz = (vz[..., 0] + vz[..., 1] + vz[..., 2]) / 3.0
+        ax_, ay_, az_ = _grad_fd4_c(
+            csdf, mx.reshape(-1), my.reshape(-1), mz.reshape(-1),
+            config.normal_epsilon,
+        )
+        ax5, ay5, az5 = (p.reshape(n, 5) for p in (ax_, ay_, az_))
+    flip = (gx_ * ax5 + gy_ * ay5 + gz_ * az5) <= 0.0  # (N, 5)
 
     verts = jnp.stack([vx, vy, vz], axis=-1)  # (N, 5, 3 verts, 3)
     normals = jnp.stack([nx_, ny_, nz_], axis=-1)
@@ -277,4 +348,4 @@ def extract_triangles(
 
     verts = jnp.where(tri_valid[..., None, None], verts, 0.0)
     normals = jnp.where(tri_valid[..., None, None], normals, 0.0)
-    return TriangleSoup(verts, normals, tri_valid)
+    return TriangleSoup(verts, normals, tri_valid, edge_overflow)

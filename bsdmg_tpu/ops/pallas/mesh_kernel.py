@@ -33,13 +33,15 @@ _BLOCK_ROWS = 32  # 4 (8, 128) vregs per plane per grid step
 _CHUNK = 2  # Newton steps between cross-lane any-active reductions
 
 
-def _grad_jvp(csdf, x, y, z):
-    one = jnp.ones_like(x)
-    zero = jnp.zeros_like(x)
-    _, gx = jax.jvp(csdf, (x, y, z), (one, zero, zero))
-    _, gy = jax.jvp(csdf, (x, y, z), (zero, one, zero))
-    _, gz = jax.jvp(csdf, (x, y, z), (zero, zero, one))
-    return gx, gy, gz
+def _value_and_grad_vjp(csdf, x, y, z):
+    """SDF value and all three partials in ONE forward + ONE reverse pass.
+
+    The elementwise csdf makes per-lane grads fall out of a single vjp —
+    ~2.5 eval-equivalents vs 7 for value + 3 jvps (the same trick the diff
+    kernel uses for normals; 3 jvps measured 2x slower there)."""
+    sd, vjp_fn = jax.vjp(csdf, x, y, z)
+    gx, gy, gz = vjp_fn(jnp.ones_like(sd))
+    return sd, gx, gy, gz
 
 
 def _grad_fd4(csdf, x, y, z, eps):
@@ -70,14 +72,19 @@ def _project_kernel(csdf, iters: int, tol: float, eps: float, use_grad: bool):
         # todo carried as int32 — recomputed bool loop-carries crash Mosaic
         todo0 = act_ref[:]
 
-        def newton(csdf_g):
+        if use_grad:
+            val_grad = functools.partial(_value_and_grad_vjp, csdf)
+        else:
+            def val_grad(a, b, c):
+                return (csdf(a, b, c), *_grad_fd4(csdf, a, b, c, eps))
+
+        def newton():
             def step(_, carry):
                 gx, gy, gz, todo, i = carry
                 # mask per-step so odd `iters` stops at exactly `iters`
                 # (matching the XLA oracle), not at the next _CHUNK boundary
                 live = (todo > 0) & (i < iters)
-                sd = csdf(gx, gy, gz)
-                ngx, ngy, ngz = csdf_g(gx, gy, gz)
+                sd, ngx, ngy, ngz = val_grad(gx, gy, gz)
                 inv = jax.lax.rsqrt(
                     jnp.maximum(ngx * ngx + ngy * ngy + ngz * ngz, 1e-24)
                 )
@@ -101,12 +108,7 @@ def _project_kernel(csdf, iters: int, tol: float, eps: float, use_grad: bool):
             )
             return out, _rest[0], _rest[1]
 
-        grad_fn = (
-            _grad_jvp
-            if use_grad
-            else lambda f, a, b, c: _grad_fd4(f, a, b, c, eps)
-        )
-        px, py, pz = newton(functools.partial(grad_fn, csdf))
+        px, py, pz = newton()
 
         # exported normals: the reference's fd4 stencil at the final point
         fgx, fgy, fgz = _grad_fd4(csdf, px, py, pz, eps)

@@ -153,11 +153,22 @@ def extract_sharded(
 ) -> TriangleSoup:
     """Shard-local marching cubes; returns the concatenated triangle soup
     (invalid/padding rows carry ``valid=False``, exactly like the
-    single-device budget buffer)."""
-    pos, nrm, valid = _extract_sharded_jit(
+    single-device budget buffer). Edge-budget overflow on ANY shard (see
+    mesh/pipeline.py::field_to_triangles) reruns all shards uncompacted."""
+    import dataclasses
+
+    import numpy as np
+
+    pos, nrm, valid, overflow = _extract_sharded_jit(
         mesh, sdf, csdf, config, sfield.lowers,
         jnp.asarray(sfield.counts, jnp.int32), jnp.float32(sfield.voxel_size),
     )
+    if config.edge_budget < 12 and int(np.max(np.asarray(overflow))) > 0:
+        pos, nrm, valid, overflow = _extract_sharded_jit(
+            mesh, sdf, csdf, dataclasses.replace(config, edge_budget=12),
+            sfield.lowers, jnp.asarray(sfield.counts, jnp.int32),
+            jnp.float32(sfield.voxel_size),
+        )
     return TriangleSoup(pos, nrm, valid)
 
 
@@ -169,7 +180,10 @@ def _extract_sharded_jit(mesh, sdf, csdf, config, lowers, counts, voxel_size):
 
     def local(lo, cnt, size):
         soup = extract_triangles(sdf, lo, size, cnt[0], config, csdf)
-        return soup.positions, soup.normals, soup.valid
+        return (
+            soup.positions, soup.normals, soup.valid,
+            jnp.reshape(jnp.asarray(soup.edge_overflow, jnp.int32), (1,)),
+        )
 
     return shard_map(
         local,
@@ -179,6 +193,7 @@ def _extract_sharded_jit(mesh, sdf, csdf, config, lowers, counts, voxel_size):
             P(axes, None, None, None),
             P(axes, None, None, None),
             P(axes, None),
+            P(axes),
         ),
         check_rep=False,
     )(lowers, counts, voxel_size)

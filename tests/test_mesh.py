@@ -378,3 +378,110 @@ class TestBlockedCompactionOverflow:
         np.testing.assert_allclose(
             a[np.lexsort(a.T)], b[np.lexsort(b.T)], atol=1e-6
         )
+
+
+class TestEdgeCompaction:
+    """Rank-compacted projection layout (config.edge_budget < 12)."""
+
+    def _field(self, scene_name="reference_object", init=16):
+        from bsdmg_tpu.config import MeshGenConfig
+        from bsdmg_tpu.mesh import create_voxel_field, refine_field
+        from bsdmg_tpu.models import get_scene
+        from bsdmg_tpu.ops.pallas import compile_scene_csdf
+
+        scene = get_scene(scene_name)
+        csdf = compile_scene_csdf(scene)
+        cfg = MeshGenConfig(init_factor=init)
+        field = refine_field(scene.bind(), create_voxel_field(cfg), cfg, csdf=csdf)
+        return scene, csdf, cfg, field
+
+    def test_compacted_equals_uncompacted(self):
+        """edge_budget=6 must reproduce the 12-lane layout's soup exactly
+        on a smooth scene (no overflow)."""
+        import dataclasses
+
+        from bsdmg_tpu.ops.marching_cubes import extract_triangles
+
+        scene, csdf, cfg, field = self._field()
+        vs = jnp.float32(field.voxel_size)
+        cnt = jnp.int32(field.count)
+        assert cfg.edge_budget == 6  # production default
+        a = extract_triangles(scene.bind(), field.lowers, vs, cnt, cfg, csdf)
+        b = extract_triangles(
+            scene.bind(), field.lowers, vs, cnt,
+            dataclasses.replace(cfg, edge_budget=12), csdf,
+        )
+        assert int(a.edge_overflow) == 0
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        np.testing.assert_array_equal(
+            np.asarray(a.positions), np.asarray(b.positions)
+        )
+        np.testing.assert_array_equal(np.asarray(a.normals), np.asarray(b.normals))
+
+    def test_overflow_detected_and_retried(self):
+        """A checkerboard SDF (every corner alternates sign) drives all 12
+        edges crossing -> overflow with budget 6; the pipeline wrapper must
+        rerun uncompacted and produce the full triangle set."""
+        import dataclasses
+
+        from bsdmg_tpu.mesh.pipeline import field_to_triangles
+        from bsdmg_tpu.mesh.field import VoxelField
+        from bsdmg_tpu.config import MeshGenConfig
+        from bsdmg_tpu.ops.marching_cubes import extract_triangles
+
+        # unit voxels at integer corners; SDF sign alternates per corner
+        def checker(p):
+            s = jnp.sin(np.pi * (p[..., 0] + 0.5)) * jnp.sin(
+                np.pi * (p[..., 1] + 0.5)
+            ) * jnp.sin(np.pi * (p[..., 2] + 0.5))
+            return 0.2 * s
+
+        def checker_c(x, y, z):
+            return 0.2 * (
+                jnp.sin(np.pi * (x + 0.5))
+                * jnp.sin(np.pi * (y + 0.5))
+                * jnp.sin(np.pi * (z + 0.5))
+            )
+
+        lowers = jnp.asarray(
+            [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [1e6] * 3],
+            jnp.float32,
+        )
+        cfg = MeshGenConfig(newton_iters=4)
+        soup = extract_triangles(
+            checker, lowers, jnp.float32(1.0), jnp.int32(3), cfg, checker_c
+        )
+        assert int(soup.edge_overflow) > 0
+        # overflowed voxels' triangles are dropped, not garbage
+        full = extract_triangles(
+            checker, lowers, jnp.float32(1.0), jnp.int32(3),
+            dataclasses.replace(cfg, edge_budget=12), checker_c,
+        )
+        assert int(np.asarray(soup.valid).sum()) < int(np.asarray(full.valid).sum())
+        # the wrapper retry restores the full set
+        field = VoxelField(lowers=lowers, count=3, voxel_size=1.0, level=0)
+        via_wrapper = field_to_triangles(checker, field, cfg, csdf=checker_c)
+        np.testing.assert_array_equal(
+            np.asarray(via_wrapper.valid), np.asarray(full.valid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(via_wrapper.positions), np.asarray(full.positions)
+        )
+
+    def test_winding_estimators_agree(self):
+        """vertex_mean (default) and the reference's centroid_fd4 must make
+        identical flip decisions on the reference object."""
+        import dataclasses
+
+        from bsdmg_tpu.mesh.pipeline import field_to_triangles
+
+        scene, csdf, cfg, field = self._field()
+        a = field_to_triangles(scene.bind(), field, cfg, csdf=csdf)
+        b = field_to_triangles(
+            scene.bind(), field,
+            dataclasses.replace(cfg, winding_normals="centroid_fd4"), csdf=csdf,
+        )
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        np.testing.assert_array_equal(
+            np.asarray(a.positions), np.asarray(b.positions)
+        )
