@@ -126,7 +126,7 @@ def _slab_cull(ox, oy, oz, dx, dy, dz, lo, hi, cone, config: MarchConfig,
 
 def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budget,
            chunk: int = 8, omega: float = 1.0, t_stop=None,
-           track_min: bool = False):
+           track_min: bool = False, outcome0=None):
     """March loop on planes. Returns (depth, steps, outcome, active).
 
     ``track_min=True`` additionally returns ``(min_margin, t_min)`` — the
@@ -252,10 +252,13 @@ def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budge
         return (state, jnp.sum(state[3]))
 
     active0_i = active0.astype(jnp.int32)
+    # inactive lanes keep their prior outcome when resuming (block-retire
+    # phase B re-enters with a mix of finished and still-active lanes)
+    prior = DEPTH_LIMIT if outcome0 is None else outcome0
     state0 = (
         depth0,
         steps0,
-        jnp.where(active0, STEP_LIMIT, DEPTH_LIMIT).astype(jnp.int32),
+        jnp.where(active0, STEP_LIMIT, prior).astype(jnp.int32),
         active0_i,
     )
     if relax:
@@ -334,7 +337,7 @@ def _trace_kernel(csdf, config: MarchConfig, bb, use_bb_skip: bool, budget: int,
     def kernel(
         ox_ref, oy_ref, oz_ref,
         dx_ref, dy_ref, dz_ref,
-        cone_ref, depth0_ref, steps0_ref, active0_ref,
+        cone_ref, depth0_ref, steps0_ref, outcome0_ref, active0_ref,
         depth_ref, steps_ref, outcome_ref, active_ref,
         *shade_refs,
     ):
@@ -345,6 +348,7 @@ def _trace_kernel(csdf, config: MarchConfig, bb, use_bb_skip: bool, budget: int,
         active0 = active0_ref[:] > 0
         depth0 = depth0_ref[:]
         steps0 = steps0_ref[:]
+        outcome0 = outcome0_ref[:]
 
         t_stop = None
         if use_bb_skip and bb is not None:
@@ -366,6 +370,7 @@ def _trace_kernel(csdf, config: MarchConfig, bb, use_bb_skip: bool, budget: int,
             depth, steps, outcome, unresolved = _march(
                 scene_fn, config, (ox, oy, oz), (dx, dy, dz), cone,
                 active0, depth0, steps0, budget, omega=omega, t_stop=t_stop,
+                outcome0=outcome0,
             )
             depth_ref[:] = depth
             steps_ref[:] = steps
@@ -478,56 +483,71 @@ def _tile_spec(block_rows: int = TILE_S):
     ),
 )
 def _trace_call(csdf, o, d, cone, depth0, steps0, active0, config, bb, use_bb_skip,
-                budget, interpret, omega=1.0, block_rows=TILE_S, split=None):
+                budget, interpret, omega=1.0, block_rows=TILE_S, split=None,
+                outcome0=None):
     h, w = cone.shape
     spec = _tile_spec(block_rows)
     f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
     i32 = jax.ShapeDtypeStruct((h, w), jnp.int32)
+    if outcome0 is None:
+        outcome0 = jnp.full((h, w), DEPTH_LIMIT, jnp.int32)
     return pl.pallas_call(
         _trace_kernel(csdf, config, bb, use_bb_skip, budget, omega, split),
         grid=(h // block_rows, w // TILE_L),
-        in_specs=[spec] * 10,
+        in_specs=[spec] * 11,
         out_specs=[spec] * 4,
         out_shape=[f32, i32, i32, i32],
         interpret=interpret,
     )(
         o[..., 0], o[..., 1], o[..., 2],
         d[..., 0], d[..., 1], d[..., 2],
-        cone, depth0, steps0, active0,
+        cone, depth0, steps0, outcome0, active0,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "csdf", "config", "bb", "use_bb_skip", "omega", "interpret",
+        "csdf", "config", "bb", "use_bb_skip", "budget", "omega", "interpret",
         "block_rows", "split",
     ),
 )
-def _render_fused_call(csdf, o, d, cone, config, bb, use_bb_skip,
-                       interpret, omega=1.0, block_rows=TILE_S, split=None):
-    """Single-dispatch trace + shade (the default single-phase path): one
-    kernel writes depth/steps/outcome AND the shaded r/g/b planes, avoiding
-    the separate shade kernel's HBM re-read of six ray planes."""
+def _fused_call_resumable(csdf, o, d, cone, depth0, steps0, outcome0, active0,
+                          config, bb, use_bb_skip, budget, interpret,
+                          omega=1.0, block_rows=TILE_S, split=None):
+    """Fused trace+shade with carried march state; returns all 7 planes
+    (depth, steps, outcome, active, r, g, b). The building block of both the
+    single-phase render and the block-retire pipeline's phases."""
     h, w = cone.shape
     spec = _tile_spec(block_rows)
     f32 = jax.ShapeDtypeStruct((h, w), jnp.float32)
     i32 = jax.ShapeDtypeStruct((h, w), jnp.int32)
-    zero_f = jnp.zeros((h, w), jnp.float32)
-    zero_i = jnp.zeros((h, w), jnp.int32)
-    ones_i = jnp.ones((h, w), jnp.int32)
-    outs = pl.pallas_call(
-        _trace_kernel(csdf, config, bb, use_bb_skip, 10**9, omega, split,
+    return pl.pallas_call(
+        _trace_kernel(csdf, config, bb, use_bb_skip, budget, omega, split,
                       shade=True),
         grid=(h // block_rows, w // TILE_L),
-        in_specs=[spec] * 10,
+        in_specs=[spec] * 11,
         out_specs=[spec] * 7,
         out_shape=[f32, i32, i32, i32, f32, f32, f32],
         interpret=interpret,
     )(
         o[..., 0], o[..., 1], o[..., 2],
         d[..., 0], d[..., 1], d[..., 2],
-        cone, zero_f, zero_i, ones_i,
+        cone, depth0, steps0, outcome0, active0,
+    )
+
+
+def _render_fused_call(csdf, o, d, cone, config, bb, use_bb_skip,
+                       interpret, omega=1.0, block_rows=TILE_S, split=None):
+    """Single-dispatch trace + shade (the default single-phase path): one
+    kernel writes depth/steps/outcome AND the shaded r/g/b planes, avoiding
+    the separate shade kernel's HBM re-read of six ray planes."""
+    h, w = cone.shape
+    outs = _fused_call_resumable(
+        csdf, o, d, cone,
+        jnp.zeros((h, w), jnp.float32), jnp.zeros((h, w), jnp.int32),
+        jnp.full((h, w), DEPTH_LIMIT, jnp.int32), jnp.ones((h, w), jnp.int32),
+        config, bb, use_bb_skip, 10**9, interpret, omega, block_rows, split,
     )
     return outs[4], outs[5], outs[6]
 
@@ -671,6 +691,106 @@ def _trace_pipeline(
     return depth, steps, outcome
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "csdf", "config", "bb", "use_bb_skip", "phase_a_steps", "block_cap",
+        "interpret", "omega", "split",
+    ),
+)
+def _render_fused_blocks(
+    csdf, o_s, d_s, cone_s, config, bb, use_bb_skip, interpret,
+    omega, split, phase_a_steps, block_cap,
+):
+    """Fused render with *block-granule ray retirement* (swizzled layout).
+
+    The tile-synchronized march executes each tile's slowest lane; phase A
+    caps every ray at ``phase_a_steps``, then the surviving long-tail rays
+    (silhouette grazes) are regrouped by gathering their whole (8, 128)
+    swizzled blocks — one 32x32 spatial pixel block each — into a dense
+    buffer for phase B. Block gathers move few, large rows, which is ~50x
+    cheaper per byte than the row gathers that made per-ray two-phase a
+    loss (see ops/refine.py's block compaction, the same trick).
+
+    Exactness: the march is resumable (depth/steps/outcome carried), so
+    phases A+B sample the identical point sequence as one uncapped march;
+    the phase-C fallback finishes alive blocks beyond ``block_cap`` with a
+    masked full-image pass (taken only when the static cap overflows).
+    """
+    m, L = cone_s.shape
+    nb = m // TILE_S
+    outs = _fused_call_resumable(
+        csdf, o_s, d_s, cone_s,
+        jnp.zeros((m, L), jnp.float32), jnp.zeros((m, L), jnp.int32),
+        jnp.full((m, L), DEPTH_LIMIT, jnp.int32), jnp.ones((m, L), jnp.int32),
+        config, bb, use_bb_skip, phase_a_steps, interpret, omega,
+        _SWIZZLED_BLOCK_ROWS, split,
+    )
+    depth, steps, outcome, active, r, g, b = outs
+
+    alive = jnp.any((active > 0).reshape(nb, TILE_S * L), axis=1)
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+    key = jnp.where(alive, jnp.int32(0), jnp.int32(1))
+    _, sel = jax.lax.sort(
+        (key, jnp.arange(nb, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    sel = sel[:block_cap]
+
+    def take(x):
+        return x.reshape(nb, TILE_S, L)[sel].reshape(block_cap * TILE_S, L)
+
+    o_g = jnp.stack([take(o_s[..., a]) for a in range(3)], axis=-1)
+    d_g = jnp.stack([take(d_s[..., a]) for a in range(3)], axis=-1)
+    outs_b = _fused_call_resumable(
+        csdf, o_g, d_g, take(cone_s), take(depth), take(steps),
+        take(outcome), take(active),
+        config, bb, use_bb_skip, 10**9, interpret, omega,
+        _SWIZZLED_BLOCK_ROWS, split,
+    )
+
+    def put(full, tail):
+        return (
+            full.reshape(nb, TILE_S, L)
+            .at[sel]
+            .set(tail.reshape(block_cap, TILE_S, L))
+            .reshape(m, L)
+        )
+
+    r = put(r, outs_b[4])
+    g = put(g, outs_b[5])
+    b = put(b, outs_b[6])
+
+    # phase C: alive blocks beyond the static cap (rare) finish in place
+    def phase_c(args):
+        r, g, b = args
+        served = jnp.zeros((nb,), bool).at[sel].set(True)
+        lmask = jnp.repeat(alive & ~served, TILE_S)[:, None]  # (m, 1)
+        outs_c = _fused_call_resumable(
+            csdf, o_s, d_s, cone_s, depth, steps, outcome,
+            (active * lmask).astype(jnp.int32),
+            config, bb, use_bb_skip, 10**9, interpret, omega,
+            _SWIZZLED_BLOCK_ROWS, split,
+        )
+        pick = jnp.broadcast_to(lmask, (m, L))
+        return (
+            jnp.where(pick, outs_c[4], r),
+            jnp.where(pick, outs_c[5], g),
+            jnp.where(pick, outs_c[6], b),
+        )
+
+    return jax.lax.cond(
+        n_alive > block_cap, phase_c, lambda a: a, (r, g, b)
+    )
+
+
+def _default_block_cap(m_rows: int) -> int:
+    """Static phase-B capacity: 1/8 of the swizzled blocks (alive blocks
+    after a 48-step phase A measure ~2-6% on the reference scene), in
+    _SWIZZLED_BLOCK_ROWS granules."""
+    nb = m_rows // TILE_S
+    return max(4, (-(-nb // 8) // 4) * 4)
+
+
 _BLOCK = 32  # spatial block edge; 32*32 == TILE_S*TILE_L
 
 # Pallas block height for the swizzled layout: 4 spatial blocks per grid
@@ -749,7 +869,18 @@ def render_swizzled(
     phase_a_steps, tail_cap, interpret, omega, split=None,
 ):
     """Trace + shade pre-swizzled ``(M, 128)`` planes; returns swizzled
-    ``(r, g, b)`` planes. The per-chip body of the sharded render path."""
+    ``(r, g, b)`` planes. The per-chip body of the sharded render path.
+
+    ``two_phase="block"`` selects block-granule ray retirement
+    (:func:`_render_fused_blocks`): ``phase_a_steps`` caps phase A and
+    ``tail_cap`` (in swizzled 8-row blocks, None = 1/8 of the image)
+    bounds the gathered tail."""
+    if two_phase == "block":
+        cap = tail_cap if tail_cap else _default_block_cap(cone_s.shape[0])
+        return _render_fused_blocks(
+            csdf, o_s, d_s, cone_s, config, bb, use_bb_skip, interpret,
+            omega, split, phase_a_steps, cap,
+        )
     if not two_phase:
         return _render_fused_call(
             csdf, o_s, d_s, cone_s, config, bb, use_bb_skip, interpret,
@@ -884,10 +1015,14 @@ def render_image_pallas(
     ``omega > 1`` turns on safe over-relaxed marching (see :func:`_march`);
     ``omega=None`` honors ``config.relaxation``. ``split`` (from
     ``csdf.compile_scene_split``) enables per-tile scene specialization.
+    ``two_phase="block"`` selects block-granule ray retirement (swizzled
+    layout only; ``tail_cap`` then counts 8-row blocks, None = 1/8 image).
     Returns linear RGB ``(H, W, 3)``."""
     omega = config.relaxation if omega is None else float(omega)
     h, w = origins.shape[:2]
-    if tail_cap is None:
+    if two_phase == "block" and not swizzle:
+        raise ValueError("two_phase='block' requires the swizzled layout")
+    if tail_cap is None and two_phase is True:
         tail_cap = _default_tail_cap(h, w)
     return _render_pipeline(
         csdf, origins, directions,

@@ -96,7 +96,7 @@ class TestPallasTracer:
 
 
 class TestPallasRender:
-    @pytest.mark.parametrize("two_phase", [False, True])
+    @pytest.mark.parametrize("two_phase", [False, True, "block"])
     def test_matches_pure_render(self, two_phase):
         scene = reference_render_scene()
         csdf = compile_scene_csdf(scene)
@@ -111,6 +111,34 @@ class TestPallasRender:
         diff = np.abs(img - ref).max(-1)
         assert np.mean(diff < 2e-2) == 1.0
         assert diff.mean() < 1e-4
+
+    def test_block_retirement_pixel_exact(self):
+        """Block-granule ray retirement must be pixel-identical to the
+        single-phase fused render (the march is resumable, so phases A+B
+        sample the same point sequence), including when the static block
+        cap overflows and the phase-C fallback finishes the leftovers."""
+        scene = reference_render_scene()
+        csdf = compile_scene_csdf(scene)
+        bb = scene_bounds(scene)
+        origins, dirs, cone = _rays()
+        base = np.asarray(
+            render_image_pallas(csdf, origins, dirs, cone, bb=bb, interpret=True)
+        )
+        blk = np.asarray(
+            render_image_pallas(
+                csdf, origins, dirs, cone, bb=bb, two_phase="block",
+                phase_a_steps=24, interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(blk, base)
+        # tiny cap -> phase C must finish the overflow blocks exactly
+        tiny = np.asarray(
+            render_image_pallas(
+                csdf, origins, dirs, cone, bb=bb, two_phase="block",
+                phase_a_steps=8, tail_cap=4, interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(tiny, base)
 
     def test_bb_skip_safety(self):
         """BB-skip must never change any pixel vs no-skip."""
