@@ -99,11 +99,14 @@ def benchmark_render(
     iters: int = 3,
     use_pallas: bool | None = None,
     use_grad_normal: bool = False,
+    two_phase: bool | str = False,
+    phase_a_steps: int = 48,
 ) -> dict[str, Any]:
     """Rays/s of the reference-scene sphere trace at the given resolution.
 
     ``use_pallas=None`` auto-selects: the fused Pallas kernel on TPU, the
     pure-JAX path elsewhere (Pallas interpret mode is not a benchmark).
+    ``two_phase="block"`` benchmarks block-granule ray retirement.
     """
     import jax
     import jax.numpy as jnp
@@ -130,8 +133,8 @@ def benchmark_render(
         bb = scene_bounds(scene)
         split = compile_scene_split(scene)
         render_i = lambda i: render_image_pallas(
-            csdf, origins + 1e-6 * i, dirs, cone, bb=bb, two_phase=False,
-            split=split,
+            csdf, origins + 1e-6 * i, dirs, cone, bb=bb, two_phase=two_phase,
+            phase_a_steps=phase_a_steps, split=split,
         )
     else:
         sdf = scene.bind()
