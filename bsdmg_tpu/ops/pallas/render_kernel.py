@@ -695,12 +695,13 @@ def _trace_pipeline(
     jax.jit,
     static_argnames=(
         "csdf", "config", "bb", "use_bb_skip", "phase_a_steps", "block_cap",
-        "interpret", "omega", "split",
+        "interpret", "omega", "split", "block_rows",
     ),
 )
 def _render_fused_blocks(
     csdf, o_s, d_s, cone_s, config, bb, use_bb_skip, interpret,
     omega, split, phase_a_steps, block_cap,
+    block_rows: int = _SWIZZLED_BLOCK_ROWS,
 ):
     """Fused render with *block-granule ray retirement* (swizzled layout).
 
@@ -719,12 +720,17 @@ def _render_fused_blocks(
     """
     m, L = cone_s.shape
     nb = m // TILE_S
+    if m % block_rows:
+        block_rows = _SWIZZLED_BLOCK_ROWS
+    # phase A runs at `block_rows` (divergence there is capped at
+    # phase_a_steps, so bigger blocks can trade divergence for VPU ILP);
+    # phases B/C keep the 4-vreg default where divergence concentrates
     outs = _fused_call_resumable(
         csdf, o_s, d_s, cone_s,
         jnp.zeros((m, L), jnp.float32), jnp.zeros((m, L), jnp.int32),
         jnp.full((m, L), DEPTH_LIMIT, jnp.int32), jnp.ones((m, L), jnp.int32),
         config, bb, use_bb_skip, phase_a_steps, interpret, omega,
-        _SWIZZLED_BLOCK_ROWS, split,
+        block_rows, split,
     )
     depth, steps, outcome, active, r, g, b = outs
 
