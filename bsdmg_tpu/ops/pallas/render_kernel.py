@@ -701,7 +701,7 @@ def _trace_pipeline(
 def _render_fused_blocks(
     csdf, o_s, d_s, cone_s, config, bb, use_bb_skip, interpret,
     omega, split, phase_a_steps, block_cap,
-    block_rows: int = _SWIZZLED_BLOCK_ROWS,
+    block_rows: int | None = None,
 ):
     """Fused render with *block-granule ray retirement* (swizzled layout).
 
@@ -720,7 +720,7 @@ def _render_fused_blocks(
     """
     m, L = cone_s.shape
     nb = m // TILE_S
-    if m % block_rows:
+    if block_rows is None or m % block_rows:
         block_rows = _SWIZZLED_BLOCK_ROWS
     # phase A runs at `block_rows` (divergence there is capped at
     # phase_a_steps, so bigger blocks can trade divergence for VPU ILP);
