@@ -252,6 +252,17 @@ def cmd_animate(args) -> None:
     if moving and scene.csdf is None:
         log.warning("scene %s has no param-traced form; motion ignored", scene.name)
         moving = False
+    if moving and not isinstance(scene.params, dict):
+        log.warning("scene %s params carry no rigid transform; motion ignored", scene.name)
+        moving = False
+    if moving and "object_center" not in scene.params:
+        # grid-SDF mesh scenes bake geometry into the table; their csdf
+        # ignores the transform params motion_params would write
+        log.warning(
+            "scene %s does not consume object_center/object_rotation; "
+            "motion ignored", scene.name,
+        )
+        moving = False
 
     if moving:
         # object motion enters through params, so the frame loop re-uses one
