@@ -101,12 +101,17 @@ def benchmark_render(
     use_grad_normal: bool = False,
     two_phase: bool | str = False,
     phase_a_steps: int = 48,
+    unroll: int = 1,
 ) -> dict[str, Any]:
     """Rays/s of the reference-scene sphere trace at the given resolution.
 
     ``use_pallas=None`` auto-selects: the fused Pallas kernel on TPU, the
     pure-JAX path elsewhere (Pallas interpret mode is not a benchmark).
     ``two_phase="block"`` benchmarks block-granule ray retirement.
+    ``unroll`` places that many *independent* frames inside each traced loop
+    iteration: XLA overlaps them (cross-frame pipelining, the serving
+    steady state) at an ``unroll``-fold larger executable; 1 = strictly
+    sequential frames.
     """
     import jax
     import jax.numpy as jnp
@@ -152,11 +157,15 @@ def benchmark_render(
     @jax.jit
     def many(k):
         def body(i, acc):
-            return acc + jnp.sum(render_i(i.astype(jnp.float32)))
+            base = i.astype(jnp.float32) * unroll
+            for j in range(unroll):
+                acc = acc + jnp.sum(render_i(base + j))
+            return acc
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
-    per_frame = _slope_time(lambda k: float(many(k)), k1=2, k2=8, iters=iters)
+    per_iter = _slope_time(lambda k: float(many(k)), k1=2, k2=8, iters=iters)
+    per_frame = per_iter / unroll
     rays = width * height
     return {
         "rays_per_s": rays / per_frame,
@@ -164,6 +173,7 @@ def benchmark_render(
         "width": width,
         "height": height,
         "pallas": bool(use_pallas),
+        "unroll": unroll,
     }
 
 

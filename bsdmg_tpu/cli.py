@@ -523,7 +523,10 @@ def cmd_bench(args) -> None:
     results = {}
     with ctx:
         if args.which in ("all", "render"):
-            r = benchmark_render(args.width, args.height)
+            tp = {"row": True, "block": "block"}.get(args.two_phase, False)
+            r = benchmark_render(
+                args.width, args.height, two_phase=tp, unroll=args.unroll
+            )
             results["render"] = {
                 "rays_per_s": r["rays_per_s"],
                 "ms_per_frame": r["seconds_per_frame"] * 1e3,
@@ -674,6 +677,14 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument(
         "--roofline", action="store_true",
         help="with render: print measured step stats + %% of speed-of-light",
+    )
+    b.add_argument(
+        "--two-phase", default=None, choices=["row", "block"],
+        help="render: ray-retirement mode (default single-phase)",
+    )
+    b.add_argument(
+        "--unroll", type=int, default=1,
+        help="render: independent frames per loop iteration (overlap)",
     )
     b.set_defaults(fn=cmd_bench)
 
