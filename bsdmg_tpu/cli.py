@@ -34,17 +34,28 @@ def _add_scene_arg(p: argparse.ArgumentParser) -> None:
     )
 
 
+def _parse_mesh_spec(rest: str, default_resolution: int = 128):
+    """Split ``path.obj[:RES]`` into (path, resolution). The suffix is only
+    treated as a resolution when it parses as an integer — OBJ paths may
+    legitimately contain colons."""
+    resolution = default_resolution
+    if ":" in rest:
+        head, _, res_s = rest.rpartition(":")
+        try:
+            resolution = int(res_s)
+            rest = head
+        except ValueError:
+            pass
+    return rest, resolution
+
+
 def _get_scene(name: str):
     """Resolve a scene name. ``mesh:path.obj[:RES]`` loads a triangle-mesh
     asset and bakes it into a grid SDF scene (the reference ships OBJ assets
     loadable via bevy_obj but unused by any code path, src/main.rs:65 —
     here they are first-class render/mesh targets)."""
     if name.startswith("mesh:"):
-        rest = name[len("mesh:"):]
-        resolution = 128
-        if ":" in rest:
-            rest, _, res_s = rest.rpartition(":")
-            resolution = int(res_s)
+        rest, resolution = _parse_mesh_spec(name[len("mesh:"):])
         from bsdmg_tpu.mesh.export import load_obj
         from bsdmg_tpu.models.mesh_sdf import mesh_scene
 

@@ -118,8 +118,11 @@ class MeshGenConfig:
     #: 103-113 compares the geometric triangle normal against an fd4 normal
     #: at the centroid). "vertex_mean" reuses the already-computed vertex
     #: normals (flip decisions agree 100% on all smooth test scenes and
-    #: avoid the centroid stencil's 60 SDF evals/voxel); "centroid_fd4" is
-    #: the reference's exact estimator.
+    #: avoid the centroid stencil's 60 SDF evals/voxel) and self-checks:
+    #: triangles whose vertex normals nearly cancel (thin sheets/saddles,
+    #: where the mean's sign is float noise) re-resolve with the centroid
+    #: stencil behind a rare-path ``lax.cond``; "centroid_fd4" is the
+    #: reference's exact estimator everywhere.
     winding_normals: str = "vertex_mean"
 
     normal_epsilon: float = 1e-3

@@ -319,14 +319,7 @@ def extract_triangles(
     gx_ = e1y * e2z - e1z * e2y  # (N, 5)
     gy_ = e1z * e2x - e1x * e2z
     gz_ = e1x * e2y - e1y * e2x
-    if config.winding_normals == "vertex_mean":
-        # the vertex normals are already fd4-at-isosurface; their (unscaled)
-        # sum gives the same flip sign as the centroid stencil on every
-        # smooth test scene without 60 extra SDF evals/voxel
-        ax5 = nx_[..., 0] + nx_[..., 1] + nx_[..., 2]  # (N, 5)
-        ay5 = ny_[..., 0] + ny_[..., 1] + ny_[..., 2]
-        az5 = nz_[..., 0] + nz_[..., 1] + nz_[..., 2]
-    else:
+    def centroid_dot():
         mx = (vx[..., 0] + vx[..., 1] + vx[..., 2]) / 3.0
         my = (vy[..., 0] + vy[..., 1] + vy[..., 2]) / 3.0
         mz = (vz[..., 0] + vz[..., 1] + vz[..., 2]) / 3.0
@@ -335,7 +328,31 @@ def extract_triangles(
             config.normal_epsilon,
         )
         ax5, ay5, az5 = (p.reshape(n, 5) for p in (ax_, ay_, az_))
-    flip = (gx_ * ax5 + gy_ * ay5 + gz_ * az5) <= 0.0  # (N, 5)
+        return gx_ * ax5 + gy_ * ay5 + gz_ * az5
+
+    if config.winding_normals == "vertex_mean":
+        # the vertex normals are already fd4-at-isosurface; their (unscaled)
+        # sum gives the same flip sign as the centroid stencil on every
+        # smooth test scene without 60 extra SDF evals/voxel. Where the
+        # three vertex normals nearly cancel (thin sheets, saddles at
+        # line_width ~ voxel scale) that sign is float noise — those
+        # triangles re-resolve with the reference's centroid stencil, so
+        # the fallback costs nothing unless a degenerate triangle exists.
+        ax5 = nx_[..., 0] + nx_[..., 1] + nx_[..., 2]  # (N, 5)
+        ay5 = ny_[..., 0] + ny_[..., 1] + ny_[..., 2]
+        az5 = nz_[..., 0] + nz_[..., 1] + nz_[..., 2]
+        dot = gx_ * ax5 + gy_ * ay5 + gz_ * az5
+        g2 = gx_ * gx_ + gy_ * gy_ + gz_ * gz_
+        a2 = ax5 * ax5 + ay5 * ay5 + az5 * az5
+        ambiguous = (dot * dot <= 1e-4 * g2 * a2) & tri_valid
+        dot = jax.lax.cond(
+            jnp.any(ambiguous),
+            lambda: jnp.where(ambiguous, centroid_dot(), dot),
+            lambda: dot,
+        )
+    else:
+        dot = centroid_dot()
+    flip = dot <= 0.0  # (N, 5)
 
     verts = jnp.stack([vx, vy, vz], axis=-1)  # (N, 5, 3 verts, 3)
     normals = jnp.stack([nx_, ny_, nz_], axis=-1)

@@ -131,10 +131,16 @@ def grid_trace_pallas(
             f"grid resolution {r} > {MAX_VMEM_RESOLUTION}: table would not "
             "fit VMEM; use the SoA XLA path (ops/shade.py::render_image_c)"
         )
+    if (r * r * r) % TILE_L:
+        raise ValueError(
+            f"grid resolution {r}: r^3 = {r**3} is not a multiple of "
+            f"{TILE_L}, so the table cannot tile into VMEM lanes; use a "
+            "resolution whose cube divides 128 (e.g. 32, 48, 64) or the "
+            "SoA XLA path (ops/shade.py::render_image_c)"
+        )
     m, L = cone_s.shape
     rows = (r * r * r) // TILE_L
     table2 = table.reshape(rows, TILE_L)
-    spec = pl.BlockSpec((TILE_S, TILE_L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(
         (rows, TILE_L), lambda i: (0, 0), memory_space=pltpu.VMEM
     )

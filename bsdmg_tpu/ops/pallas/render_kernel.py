@@ -880,9 +880,17 @@ def render_swizzled(
     ``two_phase="block"`` selects block-granule ray retirement
     (:func:`_render_fused_blocks`): ``phase_a_steps`` caps phase A and
     ``tail_cap`` (in swizzled 8-row blocks, None = 1/8 of the image)
-    bounds the gathered tail."""
+    bounds the gathered tail. A user-supplied cap is normalized to the
+    phase-B grid granule (rounded up to a multiple of 4, clamped to the
+    block count) — phase B floor-divides the gathered rows into
+    ``_SWIZZLED_BLOCK_ROWS`` Pallas blocks, so a ragged cap would leave
+    whole blocks unwritten and scatter uninitialized rows into the frame."""
     if two_phase == "block":
-        cap = tail_cap if tail_cap else _default_block_cap(cone_s.shape[0])
+        nb = cone_s.shape[0] // TILE_S
+        if tail_cap:
+            cap = min(max(-(-int(tail_cap) // 4) * 4, 4), (nb // 4) * 4)
+        else:
+            cap = _default_block_cap(cone_s.shape[0])
         return _render_fused_blocks(
             csdf, o_s, d_s, cone_s, config, bb, use_bb_skip, interpret,
             omega, split, phase_a_steps, cap,

@@ -1,0 +1,33 @@
+"""CLI unit tests that need no device work: argument and spec parsing."""
+
+from bsdmg_tpu.cli import _parse_mesh_spec, build_parser
+
+
+class TestMeshSpecParsing:
+    def test_plain_path(self):
+        assert _parse_mesh_spec("model.obj") == ("model.obj", 128)
+
+    def test_path_with_resolution(self):
+        assert _parse_mesh_spec("model.obj:64") == ("model.obj", 64)
+
+    def test_path_containing_colon_keeps_path(self):
+        # a colon inside the path must not be eaten as a resolution
+        assert _parse_mesh_spec("runs:v2/model.obj") == ("runs:v2/model.obj", 128)
+
+    def test_trailing_colon_typo_keeps_path(self):
+        assert _parse_mesh_spec("model.obj:") == ("model.obj:", 128)
+
+    def test_colon_path_plus_resolution(self):
+        assert _parse_mesh_spec("runs:v2/model.obj:32") == ("runs:v2/model.obj", 32)
+
+
+class TestBenchFlags:
+    def test_two_phase_and_unroll(self):
+        a = build_parser().parse_args(
+            ["bench", "--which", "render", "--two-phase", "block", "--unroll", "4"]
+        )
+        assert (a.two_phase, a.unroll) == ("block", 4)
+
+    def test_defaults(self):
+        a = build_parser().parse_args(["bench", "--which", "render"])
+        assert (a.two_phase, a.unroll) == (None, 1)

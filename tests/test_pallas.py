@@ -139,6 +139,17 @@ class TestPallasRender:
             )
         )
         np.testing.assert_array_equal(tiny, base)
+        # ragged caps are normalized to the phase-B grid granule (a cap not
+        # a multiple of 4 once left whole gathered blocks unwritten and
+        # scattered uninitialized rows into the frame)
+        for cap in (2, 5):
+            ragged = np.asarray(
+                render_image_pallas(
+                    csdf, origins, dirs, cone, bb=bb, two_phase="block",
+                    phase_a_steps=8, tail_cap=cap, interpret=True,
+                )
+            )
+            np.testing.assert_array_equal(ragged, base)
 
     def test_bb_skip_safety(self):
         """BB-skip must never change any pixel vs no-skip."""
