@@ -106,6 +106,7 @@ def render_image_diff(
     csdf=None,
     bb: tuple | None = None,
     split=None,
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Differentiable render: linear RGB ``(..., 3)`` with gradients flowing
     to ``params`` through hit depth and shading normals.
@@ -115,11 +116,14 @@ def render_image_diff(
     of (..., 3) points, full TPU lane occupancy, same math (~10-20x faster).
     ``bb`` (optional, SoA path) enables the sky slab skip — supply bounds
     covering the surface over the optimization's whole parameter range.
+    ``use_pallas`` (SoA path) forces the march backend: ``False`` keeps the
+    forward march in plain XLA so the whole render stays GSPMD-partitionable
+    (a ``pallas_call`` has no sharding rule); ``None`` auto-selects.
     """
     if csdf is not None:
         return _render_image_diff_c(
             csdf, params, origins, directions, cone_radius, config,
-            bb=bb, split=split,
+            bb=bb, split=split, use_pallas=use_pallas,
         )
     t_diff, hit = differentiable_hit(
         scene, params, origins, directions, cone_radius, config

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from bsdmg_tpu.config import MeshGenConfig
-from bsdmg_tpu.ops.refine import refine_step
 
 SdfFn = Callable[[jax.Array], jax.Array]
 
@@ -124,11 +123,6 @@ def _pad_to(arr: jax.Array, capacity: int) -> jax.Array:
         return arr[:capacity]
     pad = jnp.full((capacity - n,) + arr.shape[1:], 1e6, arr.dtype)
     return jnp.concatenate([arr, pad], axis=0)
-
-
-@partial(jax.jit, static_argnums=(0, 4))
-def _refine_jit(sdf: SdfFn, lowers, count, voxel_size, csdf=None):
-    return refine_step(sdf, lowers, count, voxel_size, csdf=csdf)
 
 
 @partial(jax.jit, static_argnums=(0, 4, 5))

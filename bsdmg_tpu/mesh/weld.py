@@ -43,7 +43,16 @@ def weld_vertices(
         if result is not None:
             return result
 
-    keys = np.round(positions * quantization).astype(np.int64)
+    # half-AWAY-from-zero, matching both the reference's Rust round()
+    # (src/cuda/mod.rs:270) and the native path's llroundf — np.round's
+    # half-to-even would key exact .5 products differently and weld a
+    # different vertex set than the native/reference implementations
+    # bit-match the native math: double product narrowed to f32 (the
+    # (float)(x * quant) cast), then exact half-away rounding of that f32
+    # value emulated in f64 (llroundf's semantics)
+    scaled = (positions.astype(np.float64) * quantization).astype(np.float32)
+    s64 = scaled.astype(np.float64)
+    keys = (np.sign(s64) * np.floor(np.abs(s64) + 0.5)).astype(np.int64)
     # lexicographic unique with first-encounter order
     _, first_idx, inverse = np.unique(
         keys, axis=0, return_index=True, return_inverse=True

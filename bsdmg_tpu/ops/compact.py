@@ -78,35 +78,3 @@ def compact(
     return out, count.astype(jnp.int32)
 
 
-def compact_multi(arrays, mask: jax.Array, capacity: int | None = None):
-    """Compact several same-length arrays with one shared mask.
-
-    Shares the key sort across arrays. Returns ``(tuple_of_out, count)``.
-    """
-    n = mask.shape[0]
-    if capacity is None:
-        capacity = n
-    if n == 0:
-        outs = tuple(
-            jnp.zeros((capacity,) + a.shape[1:], dtype=a.dtype) for a in arrays
-        )
-        return outs, jnp.int32(0)
-
-    columns = []
-    layout = []  # (ncols, trailing_shape, dtype)
-    for a in arrays:
-        flat = a.reshape(n, -1)
-        layout.append((flat.shape[1], a.shape[1:], a.dtype))
-        columns.extend(flat[:, j] for j in range(flat.shape[1]))
-    cols, count = _sort_compact(
-        tuple(columns), mask, capacity, (0,) * len(columns)
-    )
-    outs = []
-    i = 0
-    for ncols, trailing, dtype in layout:
-        group = cols[i : i + ncols]
-        i += ncols
-        outs.append(
-            jnp.stack(group, axis=-1).reshape((capacity,) + trailing).astype(dtype)
-        )
-    return tuple(outs), count.astype(jnp.int32)

@@ -139,6 +139,12 @@ def grid_trace_pallas(
             "SoA XLA path (ops/shade.py::render_image_c)"
         )
     m, L = cone_s.shape
+    if m % TILE_S:
+        raise ValueError(
+            f"ray planes have {m} rows, not a multiple of {TILE_S}: the "
+            "grid would skip the trailing partial block and return "
+            "uninitialized rows (swizzled_ray_planes emits padded planes)"
+        )
     rows = (r * r * r) // TILE_L
     table2 = table.reshape(rows, TILE_L)
     table_spec = pl.BlockSpec(

@@ -652,13 +652,20 @@ def _trace_pipeline(
     if not two_phase:
         return depth, steps, outcome
 
-    # phase B: compacted tail, fixed capacity, no host sync
+    # phase B: compacted tail, fixed capacity, no host sync. The cap must
+    # be a whole number of (8, 128) tiles — phase B's grid floor-divides the
+    # gathered rows, and a ragged cap would leave tiles unwritten and
+    # scatter uninitialized values onto active rays.
+    grain = TILE_S * TILE_L
+    tail_cap = max(-(-int(tail_cap) // grain) * grain, grain)
     idx, valid, o_g, d_g, cone_g, depth_g, steps_g = _gather_active(
         active, o_p, d_p, cone_p, depth, steps, tail_cap
     )
+    # keep use_bb_skip on: resumed rays recompute their slab t_exit (the
+    # per-ray stop depth), instead of marching empty space to depth_limit
     depth_t, steps_t, outcome_t, _ = _trace_call(
         csdf, o_g, d_g, cone_g, depth_g, steps_g, valid.astype(jnp.int32),
-        config, bb, False, 10**9, interpret, omega,
+        config, bb, use_bb_skip, 10**9, interpret, omega,
     )
     depth, steps, outcome = _scatter_back(
         idx, (depth, steps, outcome), (depth_t, steps_t, outcome_t)
@@ -676,7 +683,7 @@ def _trace_pipeline(
         depth, steps, outcome = args
         d2, s2, oc2, _ = _trace_call(
             csdf, o_p, d_p, cone_p, depth, steps, leftover.astype(jnp.int32),
-            config, bb, False, 10**9, interpret, omega,
+            config, bb, use_bb_skip, 10**9, interpret, omega,
         )
         keep = leftover
         return (

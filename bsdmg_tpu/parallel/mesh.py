@@ -93,6 +93,26 @@ def distribute_field(
     return ShardedField(lowers, counts, field.voxel_size, field.level)
 
 
+@partial(jax.jit, static_argnames=("mesh", "new_cap"))
+def _shrink_sharded_jit(mesh, new_cap, lowers):
+    """Slice (or pad) every shard's local buffer to ``new_cap`` rows."""
+    from jax.experimental.shard_map import shard_map
+
+    axes = tuple(mesh.axis_names)
+
+    def local(lo):
+        cur = lo.shape[0]
+        if cur >= new_cap:
+            return lo[:new_cap]
+        pad = jnp.full((new_cap - cur, 3), 1e6, lo.dtype)
+        return jnp.concatenate([lo, pad], axis=0)
+
+    return shard_map(
+        local, mesh=mesh, in_specs=P(axes, None), out_specs=P(axes, None),
+        check_rep=False,
+    )(lowers)
+
+
 @partial(jax.jit, static_argnames=("mesh", "sdf", "csdf", "block_cap"))
 def _refine_sharded_jit(mesh, sdf, csdf, block_cap, lowers, counts, voxel_size):
     from jax.experimental.shard_map import shard_map
@@ -139,6 +159,15 @@ def refine_field_sharded(
         if worst <= block_cap or block_cap >= nb:
             break
         block_cap = min(nb, max(2 * block_cap, -(-worst * 9 // 8)))
+    # shrink each shard's inflated output to the worst shard's rounded live
+    # count — the same rule as the single-device refine_field: survivors are
+    # O(surface area), and without this the per-level ~2x capacity compounds
+    # so later levels sort/march exponentially many dead padding rows
+    n_shards = mesh.devices.size
+    out_local = out.shape[0] // n_shards
+    new_cap = _round_capacity(int(counts.max()))
+    if new_cap != out_local:
+        out = _shrink_sharded_jit(mesh, new_cap, out)
     return ShardedField(
         out, counts, sfield.voxel_size / 2.0, sfield.level + 1
     )

@@ -97,10 +97,14 @@ def render_sharded(
     mesh: Mesh,
     config: MarchConfig = MarchConfig(),
     *,
-    use_grad_normal: bool = True,
+    use_grad_normal: bool = False,
     csdf=None,
 ):
     """Forward render with rays sharded over the mesh, params replicated.
+
+    ``use_grad_normal`` defaults to ``False`` — the reference's fd4 stencil,
+    matching the single-device ``render_image`` default, so sharded and
+    direct renders of the same scene are identical by default.
 
     SDF evaluation is embarrassingly parallel over rays, so the only
     communication is the initial params broadcast; each device traces its
@@ -147,8 +151,15 @@ def _train_step_jit(
     replicated = NamedSharding(mesh, P())
 
     def loss_fn(pp):
+        # use_pallas=False: this step runs under plain jit with dp/sp-sharded
+        # rays, and GSPMD has no partitioning rule for a pallas_call — the
+        # auto-selected Pallas diff path would gather/replicate the rays per
+        # device (or fail to compile) on a real multi-chip mesh. The XLA SoA
+        # path shards cleanly; the fused Pallas training step is the
+        # shard_map-wrapped train_step_fused below.
         img = render_image_diff(
-            scene_fn, pp, o, d, c, config, csdf=component_fn
+            scene_fn, pp, o, d, c, config, csdf=component_fn,
+            use_pallas=False,
         )
         return jnp.mean((img - tgt) ** 2)
 

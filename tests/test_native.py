@@ -40,6 +40,25 @@ class TestNativeWeld:
         v, n, f = out
         assert v.shape == (0, 3) and f.shape == (0, 3)
 
+    def test_half_products_round_identically(self):
+        """Coordinates whose quantized product lands on an exact .5 (e.g.
+        0.078125 * 1e5 = 7812.5, an exact MC midpoint at voxel_size 5/64)
+        must key the same under the native llroundf (half-away-from-zero)
+        and the NumPy fallback — np.round's half-to-even once diverged here
+        and welded different vertex sets."""
+        halves = np.asarray(
+            [0.078125, -0.078125, 0.156250 + 5e-6, 1.5e-5, -2.5e-5, 0.0],
+            np.float32,
+        )
+        tris = np.stack(
+            [np.roll(halves, k)[:3] for k in range(6)] * 2
+        ).reshape(-1, 3, 3).astype(np.float32)
+        nrm = np.ones_like(tris)
+        vn, nn, fn = weld_vertices(tris, nrm, use_native=True)
+        vp, npn, fp = weld_vertices(tris, nrm, use_native=False)
+        np.testing.assert_array_equal(vn, vp)
+        np.testing.assert_array_equal(fn, fp)
+
     def test_quantization_merges(self):
         tri = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
         soup = np.stack([tri, tri + 1e-7])

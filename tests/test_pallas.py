@@ -78,7 +78,13 @@ class TestPallasTracer:
         assert pal.outcome.shape == (37, 100)
         np.testing.assert_array_equal(np.asarray(ref.outcome), np.asarray(pal.outcome))
 
-    @pytest.mark.parametrize("two_phase,tail_cap", [(False, None), (True, None), (True, 1024)])
+    # tail_cap=512 is a regression pin: a cap that is a multiple of 128 but
+    # not of the 8x128 tile once floor-divided phase B's grid to zero and
+    # scattered uninitialized planes onto active rays
+    @pytest.mark.parametrize(
+        "two_phase,tail_cap",
+        [(False, None), (True, None), (True, 1024), (True, 512)],
+    )
     def test_trace_pipeline(self, two_phase, tail_cap):
         scene = reference_render_scene()
         csdf = compile_scene_csdf(scene)

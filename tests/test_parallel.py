@@ -44,25 +44,25 @@ class TestShardedRender:
     def test_matches_single_device(self, shape):
         scene = reference_render_scene()
         origins, dirs, cone = _rays(32, 16)
-        single = render_image(
-            scene.bind(), origins, dirs, cone, use_grad_normal=True
-        )
+        single = render_image(scene.bind(), origins, dirs, cone)
 
         mesh = make_mesh(shape=shape)
         o, d, c, unpermute = shard_rays(origins, dirs, cone, mesh)
         img = render_sharded(scene.sdf, scene.params, o, d, c, mesh)
         img = unpermute(np.asarray(img))
-        np.testing.assert_allclose(img, np.asarray(single), atol=1e-5)
+        # atol 1e-4: the fd4 normal stencil amplifies ulp-level hit-depth
+        # differences between the sharded and direct fusion layouts
+        np.testing.assert_allclose(img, np.asarray(single), atol=1e-4)
 
     def test_interleaved_rows_restore_order(self):
         scene = sphere_scene(1.0)
         origins, dirs, cone = _rays(16, 16)
-        single = render_image(scene.bind(), origins, dirs, cone, use_grad_normal=True)
+        single = render_image(scene.bind(), origins, dirs, cone)
 
         mesh = make_mesh(shape=(8, 1))
         o, d, c, unpermute = shard_rays(origins, dirs, cone, mesh, interleave=True)
         img = unpermute(np.asarray(render_sharded(scene.sdf, scene.params, o, d, c, mesh)))
-        np.testing.assert_allclose(img, np.asarray(single), atol=1e-5)
+        np.testing.assert_allclose(img, np.asarray(single), atol=1e-4)
 
 
 class TestShardedGradients:
@@ -255,6 +255,15 @@ class TestShardedMeshGeneration:
         sfield = distribute_field(field, mesh)
         refined = refine_field_sharded(scene.bind(), sfield, cfg, mesh)
         assert refined.count == single.count
+
+        # capacity hygiene (CLAUDE.md rule): the inflated refine output must
+        # shrink back to the worst shard's rounded live count, or dead
+        # padding compounds ~2x per level through every later sort/march
+        from bsdmg_tpu.mesh.field import _round_capacity
+
+        assert refined.local_capacity == _round_capacity(
+            int(max(refined.counts))
+        )
 
         # the union of shard-local live rows equals the single-device set
         n = len(refined.counts)
