@@ -288,6 +288,7 @@ def cmd_animate(args) -> None:
         render = _make_renderer(scene)
 
     radius = float(np.linalg.norm(args.camera))
+    gif_frames = [] if getattr(args, "gif", None) else None
     for i in range(args.frames):
         t = args.seconds * i / max(args.frames, 1)
         if moving:
@@ -312,9 +313,18 @@ def cmd_animate(args) -> None:
             img = jax.block_until_ready(render_p(p_t, origins, dirs, cone))
         else:
             img = jax.block_until_ready(render(origins, dirs, cone))
+        rgba8 = np.asarray(to_rgba8(img))
         path = f"{args.output or 'frame'}_{i:04d}.png"
-        save_png(np.asarray(to_rgba8(img)), path)
+        save_png(rgba8, path)
+        if gif_frames is not None:
+            gif_frames.append(rgba8)
         log.info("frame %d/%d (t=%.2fs) -> %s", i + 1, args.frames, t, path)
+    if gif_frames is not None:
+        from bsdmg_tpu.mesh.export import save_gif
+
+        fps = args.frames / args.seconds if args.seconds > 0 else 10.0
+        save_gif(gif_frames, args.gif, fps=fps)
+        log.info("wrote %s (%d frames, %.1f fps)", args.gif, args.frames, fps)
 
 
 def cmd_remesh(args) -> None:
@@ -646,6 +656,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="the reference's ExampleSceneSettings.enable_movement gate (M key)",
     )
     a.add_argument("--output", "-o", default=None)
+    a.add_argument(
+        "--gif", default=None,
+        help="also assemble frames into a looping animated GIF at this path "
+        "(headless stand-in for the reference's 60 Hz window)",
+    )
     a.set_defaults(fn=cmd_animate)
 
     rm = sub.add_parser("remesh", help="mesh asset -> grid SDF -> adaptive re-extraction")

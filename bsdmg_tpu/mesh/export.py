@@ -139,6 +139,37 @@ def save_png(image: np.ndarray, path: str | Path) -> None:
     Path(path).write_bytes(png)
 
 
+def save_gif(frames, path: str | Path, *, fps: float = 10.0) -> None:
+    """Write a list of (H, W, 3|4) uint8 frames as a looping animated GIF.
+
+    The headless stand-in for the reference's interactive 60 Hz window
+    (src/main.rs:52-53, AutoVsync): ``cli animate --gif`` captures the same
+    orbit/object motion as a shareable artifact. Uses Pillow (in the base
+    image stack); raises a clear error if it is unavailable.
+    """
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - Pillow is baked in
+        raise RuntimeError(
+            "animated GIF export needs Pillow; write PNG frames instead"
+        ) from e
+    if not frames:
+        raise ValueError("save_gif needs at least one frame")
+    imgs = []
+    for f in frames:
+        f = np.asarray(f)
+        if f.dtype != np.uint8:
+            f = (np.clip(f, 0.0, 1.0) * 255.0).astype(np.uint8)
+        imgs.append(Image.fromarray(f[..., :3], "RGB"))
+    imgs[0].save(
+        Path(path),
+        save_all=True,
+        append_images=imgs[1:],
+        duration=max(int(round(1000.0 / fps)), 20),
+        loop=0,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Voxel-field checkpoints
 # ---------------------------------------------------------------------------

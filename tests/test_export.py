@@ -74,6 +74,32 @@ class TestPng:
         save_png(img, tmp_path / "f.png")
 
 
+class TestGif:
+    def test_animated_gif_round_trip(self, tmp_path):
+        from bsdmg_tpu.mesh.export import save_gif
+
+        frames = [
+            np.full((4, 6, 4), v, np.uint8) for v in (0, 128, 255)
+        ]
+        path = tmp_path / "anim.gif"
+        save_gif(frames, path, fps=5.0)
+        data = path.read_bytes()
+        assert data[:6] in (b"GIF87a", b"GIF89a")
+        from PIL import Image
+
+        with Image.open(path) as im:
+            assert im.n_frames == 3
+            assert im.size == (6, 4)
+
+    def test_empty_raises(self, tmp_path):
+        from bsdmg_tpu.mesh.export import save_gif
+
+        import pytest
+
+        with pytest.raises(ValueError):
+            save_gif([], tmp_path / "x.gif")
+
+
 class TestFieldCheckpoint:
     def test_round_trip(self, tmp_path):
         cfg = MeshGenConfig(init_factor=8, bb_size=4.0)
