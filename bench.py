@@ -32,7 +32,17 @@ def main() -> None:
 
     from bsdmg_tpu.bench import benchmark_render
 
-    result = benchmark_render(WIDTH, HEIGHT)
+    # the tunneled dispatch occasionally jitters enough that _slope_time
+    # cannot find a positive slope and raises; one clean retry is cheap
+    # insurance against publishing nothing at all
+    for attempt in range(3):
+        try:
+            result = benchmark_render(WIDTH, HEIGHT)
+            break
+        except RuntimeError:
+            if attempt == 2:
+                raise
+            time.sleep(10.0)
     rays_per_s = result["rays_per_s"]
     print(
         json.dumps(
