@@ -30,7 +30,8 @@ def _add_scene_arg(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--scene",
         default="reference_render_scene",
-        help="scene name (see bsdmg_tpu.models.SCENES)",
+        help="scene name (bsdmg_tpu.models.SCENES), 'mesh:path.obj[:RES]' "
+        "for an OBJ asset, or a .json CSG spec (models/compose.py)",
     )
 
 
@@ -62,6 +63,12 @@ def _get_scene(name: str):
         src = load_obj(rest)
         scene, _ = mesh_scene(src.vertices, src.faces, resolution=resolution)
         return scene
+    if name.startswith("spec:") or name.endswith(".json"):
+        # composed scene from a JSON CSG spec (models/compose.py) — the
+        # data-driven counterpart of the reference's compiled-in sd_obj
+        from bsdmg_tpu.models.compose import load_scene_spec
+
+        return load_scene_spec(name[len("spec:"):] if name.startswith("spec:") else name)
     from bsdmg_tpu.models import get_scene
 
     return get_scene(name)

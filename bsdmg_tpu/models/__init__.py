@@ -17,6 +17,7 @@ from bsdmg_tpu.models.scenes import (
     reference_render_scene,
     sphere_scene,
 )
+from bsdmg_tpu.models.compose import compose_scene, load_scene_spec
 from bsdmg_tpu.models.motion import (
     AxisCyclicMotion,
     RotateAxisMotion,
@@ -38,6 +39,8 @@ __all__ = [
     "SCENES",
     "Scene",
     "box_scene",
+    "compose_scene",
+    "load_scene_spec",
     "get_scene",
     "mandelbulb_scene",
     "reference_object",

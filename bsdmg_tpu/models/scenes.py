@@ -39,6 +39,10 @@ class Scene:
     sdf: SceneFn
     params: Params
     csdf: SceneCFn | None = None
+    #: composed-scene spec tree (models/compose.py) — present only on scenes
+    #: built by ``compose_scene``; lets ops/pallas/csdf.py bake the tree for
+    #: the render kernel and derive slab-cull bounds
+    spec: Any | None = None
 
     def bind(self, params: Params | None = None) -> Callable[[jax.Array], jax.Array]:
         """Close over ``params`` (default params if None) for APIs that want

@@ -315,6 +315,10 @@ def scene_bounds(scene: Scene, params=None) -> tuple | None:
     finding, round 2).
     """
     p = scene.params if params is None else params
+    if getattr(scene, "spec", None) is not None:
+        from bsdmg_tpu.models.compose import composed_bounds
+
+        return composed_bounds(scene, p)
     if scene.name in ("reference_object", "reference_render_scene"):
         lo, hi = _reference_object_bounds(p)
         slack = float(p["smooth_k"]) / 6.0 + 1e-3
@@ -369,6 +373,10 @@ def compile_scene_csdf(scene: Scene, params=None) -> CSdf | None:
     """Lower a built-in scene to component form; ``None`` if unsupported
     (callers fall back to the pure-JAX tracer)."""
     p = scene.params if params is None else params
+    if getattr(scene, "spec", None) is not None:
+        from bsdmg_tpu.models.compose import composed_baked_csdf
+
+        return composed_baked_csdf(scene, p)
     if scene.name == "reference_object":
         return reference_object_csdf(p)
     if scene.name == "reference_render_scene":
