@@ -307,6 +307,38 @@ class TestRenderIntegration:
             params, state, loss = step(params, state)
         assert abs(float(params["n0_radius"]) - 1.0) < 0.02
 
+    def test_fused_loss_grad_kernel_handles_composed_params(self):
+        """The SMEM-param fused loss+grad kernel (interpret mode) accepts a
+        composed scene's pytree (scalars + (3,)/(4,) vectors) and matches
+        jax.value_and_grad of the XLA diff render."""
+        import jax
+
+        from bsdmg_tpu.cam import generate_rays, look_at
+        from bsdmg_tpu.grad import render_image_diff, render_loss_and_grad
+
+        scene = compose_scene(SNOWMAN)
+        cam = look_at((4.0, 2.0, -4.0), fov=np.pi / 4)
+        o, d, c = generate_rays(cam, (32, 16), (1920.0, 1080.0))
+        target = jnp.zeros(o.shape[:-1] + (3,), jnp.float32)
+
+        def oracle(p):
+            img = render_image_diff(
+                scene.sdf, p, o, d, c, csdf=scene.csdf, use_pallas=False
+            )
+            return jnp.mean((img - target) ** 2)
+
+        ref_loss, ref_g = jax.value_and_grad(oracle)(scene.params)
+        loss, g = render_loss_and_grad(
+            scene.sdf, scene.params, target, o, d, c,
+            csdf=scene.csdf, use_fused=True, interpret=True,
+        )
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        for k in ref_g:
+            np.testing.assert_allclose(
+                np.asarray(g[k]), np.asarray(ref_g[k]), atol=1e-5,
+                err_msg=k,
+            )
+
     def test_mesh_generation(self):
         """Composed scenes drive the mesh generator (CLI mesh --scene x.json)."""
         from bsdmg_tpu.config import MeshGenConfig
