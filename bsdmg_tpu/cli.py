@@ -371,10 +371,35 @@ def cmd_remesh(args) -> None:
     log.info("wrote %s", out)
 
 
+def _parse_perturb(spec: str) -> dict[str, float]:
+    """Parse ``key=factor,key=factor`` into a dict; factors multiply the
+    scene's true params to form the fit's starting point."""
+    out: dict[str, float] = {}
+    for item in spec.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        key, _, val = item.partition("=")
+        try:
+            out[key.strip()] = float(val)
+        except ValueError:
+            raise SystemExit(
+                f"--perturb: expected key=factor, got {item!r}"
+            ) from None
+    if not out:
+        raise SystemExit("--perturb: no key=factor pairs found")
+    return out
+
+
 def cmd_fit(args) -> None:
     """Inverse rendering: recover SDF parameters from a target depth map
     (default) or from a target *image* via the fused loss+grad kernel
-    (``--image``, the production training-step path on TPU)."""
+    (``--image``, the production training-step path on TPU).
+
+    Works for ANY differentiable scene — built-ins or composed JSON specs
+    (models/compose.py): the target is synthesized at the scene's true
+    params, the listed ``--perturb key=factor`` params are perturbed, and
+    gradient descent recovers them."""
     import jax
     import jax.numpy as jnp
 
@@ -385,7 +410,10 @@ def cmd_fit(args) -> None:
     from bsdmg_tpu.utils import get_logger
 
     log = get_logger()
-    scene = reference_object()
+    default_scene = args.scene == "reference_render_scene"
+    scene = reference_object() if default_scene else _get_scene(args.scene)
+    if not isinstance(scene.params, dict) or not scene.params:
+        raise SystemExit(f"scene {scene.name!r} has no fittable parameters")
     cam = _camera(args)
     origins, dirs, cone = generate_rays(
         cam, (args.width, args.height), (args.screen_width, args.screen_height)
@@ -395,12 +423,29 @@ def cmd_fit(args) -> None:
         _fit_image(args, log, origins, dirs, cone)
         return
 
+    if args.perturb:
+        perturb = _parse_perturb(args.perturb)
+    elif default_scene:
+        perturb = {"sphere_radius": 1.3, "smooth_k": 0.6}
+    else:
+        raise SystemExit(
+            f"pass --perturb key=factor[,key=factor] to pick which of "
+            f"{sorted(scene.params)} to perturb and recover"
+        )
+    unknown = set(perturb) - set(scene.params)
+    if unknown:
+        raise SystemExit(
+            f"--perturb keys {sorted(unknown)} not in scene params "
+            f"{sorted(scene.params)}"
+        )
+    watched = sorted(perturb)
+
     # synthesize a target from the true params, then perturb and recover
     t_target, hit_t = differentiable_hit(scene.sdf, scene.params, origins, dirs, cone)
     t_target = jax.lax.stop_gradient(t_target)
     params = dict(scene.params)
-    params["sphere_radius"] = params["sphere_radius"] * 1.3
-    params["smooth_k"] = params["smooth_k"] * 0.6
+    for key, factor in perturb.items():
+        params[key] = params[key] * factor
 
     stable0 = hit_t.outcome == COLLISION
 
@@ -411,19 +456,18 @@ def cmd_fit(args) -> None:
         err = (t - t_target) * mask
         return jnp.sum(err**2) / jnp.maximum(jnp.sum(mask), 1)
 
+    def fmt(p):
+        return " ".join(
+            f"{k}={np.asarray(p[k]).ravel().round(4).tolist()}" for k in watched
+        )
+
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     for i in range(args.steps):
         loss, g = grad_fn(params)
         params = jax.tree.map(lambda p, gg: p - args.lr * gg, params, g)
         if i % 10 == 0 or i == args.steps - 1:
-            log.info(
-                "step %d: loss=%.3e radius=%.4f k=%.4f",
-                i, float(loss), float(params["sphere_radius"]), float(params["smooth_k"]),
-            )
-    log.info(
-        "recovered sphere_radius=%.4f (true 1.0), smooth_k=%.4f (true 0.5)",
-        float(params["sphere_radius"]), float(params["smooth_k"]),
-    )
+            log.info("step %d: loss=%.3e %s", i, float(loss), fmt(params))
+    log.info("recovered %s (true %s)", fmt(params), fmt(scene.params))
 
 
 def _fit_image(args, log, origins, dirs, cone) -> None:
@@ -680,12 +724,18 @@ def build_parser() -> argparse.ArgumentParser:
     rm.set_defaults(fn=cmd_remesh)
 
     ft = sub.add_parser("fit", help="inverse rendering: recover SDF params from depth or image")
+    _add_scene_arg(ft)
     common_camera(ft)
     ft.add_argument("--steps", type=int, default=60)
     ft.add_argument("--lr", type=float, default=0.2)
     ft.add_argument(
         "--image", action="store_true",
         help="fit an L2 image loss with the fused loss+grad kernel",
+    )
+    ft.add_argument(
+        "--perturb", default=None,
+        help="key=factor[,key=factor]: which params to perturb and recover "
+        "(default for the reference scene: sphere_radius=1.3,smooth_k=0.6)",
     )
     ft.set_defaults(fn=cmd_fit)
     ft.set_defaults(width=64, height=64)

@@ -21,6 +21,33 @@ class TestMeshSpecParsing:
         assert _parse_mesh_spec("runs:v2/model.obj:32") == ("runs:v2/model.obj", 32)
 
 
+class TestFitFlags:
+    def test_perturb_parses(self):
+        from bsdmg_tpu.cli import _parse_perturb
+
+        assert _parse_perturb("n1_radius=1.25, n0_k=0.6") == {
+            "n1_radius": 1.25,
+            "n0_k": 0.6,
+        }
+
+    def test_perturb_rejects_garbage(self):
+        import pytest
+
+        from bsdmg_tpu.cli import _parse_perturb
+
+        with pytest.raises(SystemExit):
+            _parse_perturb("n1_radius")
+        with pytest.raises(SystemExit):
+            _parse_perturb("")
+
+    def test_fit_takes_scene(self):
+        a = build_parser().parse_args(
+            ["fit", "--scene", "x.json", "--perturb", "n1_radius=1.3"]
+        )
+        assert a.scene == "x.json"
+        assert a.perturb == "n1_radius=1.3"
+
+
 class TestBenchFlags:
     def test_two_phase_and_unroll(self):
         a = build_parser().parse_args(
