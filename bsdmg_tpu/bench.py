@@ -101,6 +101,7 @@ def benchmark_render(
     use_grad_normal: bool = False,
     two_phase: bool | str = False,
     phase_a_steps: int = 48,
+    phase_a_rows: int | None = None,
     unroll: int = 1,
 ) -> dict[str, Any]:
     """Rays/s of the reference-scene sphere trace at the given resolution.
@@ -139,7 +140,8 @@ def benchmark_render(
         split = compile_scene_split(scene)
         render_i = lambda i: render_image_pallas(
             csdf, origins + 1e-6 * i, dirs, cone, bb=bb, two_phase=two_phase,
-            phase_a_steps=phase_a_steps, split=split,
+            phase_a_steps=phase_a_steps, phase_a_rows=phase_a_rows,
+            split=split,
         )
     else:
         sdf = scene.bind()

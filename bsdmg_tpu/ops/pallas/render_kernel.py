@@ -880,6 +880,7 @@ def swizzled_ray_planes(
 def render_swizzled(
     csdf, o_s, d_s, cone_s, config, bb, use_bb_skip, two_phase,
     phase_a_steps, tail_cap, interpret, omega, split=None,
+    phase_a_rows: int | None = None,
 ):
     """Trace + shade pre-swizzled ``(M, 128)`` planes; returns swizzled
     ``(r, g, b)`` planes. The per-chip body of the sharded render path.
@@ -900,7 +901,7 @@ def render_swizzled(
             cap = _default_block_cap(cone_s.shape[0])
         return _render_fused_blocks(
             csdf, o_s, d_s, cone_s, config, bb, use_bb_skip, interpret,
-            omega, split, phase_a_steps, cap,
+            omega, split, phase_a_steps, cap, phase_a_rows,
         )
     if not two_phase:
         return _render_fused_call(
@@ -922,12 +923,13 @@ def render_swizzled(
     static_argnames=(
         "csdf", "config", "bb", "use_bb_skip", "two_phase", "phase_a_steps",
         "tail_cap", "interpret", "h", "w", "omega", "swizzle", "split",
+        "phase_a_rows",
     ),
 )
 def _render_pipeline(
     csdf, origins, directions, cone_radius, config, bb, use_bb_skip,
     two_phase, phase_a_steps, tail_cap, interpret, h, w, omega=1.0,
-    swizzle=True, split=None,
+    swizzle=True, split=None, phase_a_rows=None,
 ):
     if swizzle:
         o_p, d_p, cone_p, (hp, wp, m, _) = swizzled_ray_planes(
@@ -935,7 +937,7 @@ def _render_pipeline(
         )
         r, g, b = render_swizzled(
             csdf, o_p, d_p, cone_p, config, bb, use_bb_skip, two_phase,
-            phase_a_steps, tail_cap, interpret, omega, split,
+            phase_a_steps, tail_cap, interpret, omega, split, phase_a_rows,
         )
         r, g, b = (_unswizzle(x[:m], hp, wp) for x in (r, g, b))
         return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
@@ -1030,6 +1032,7 @@ def render_image_pallas(
     omega: float | None = None,
     swizzle: bool = True,
     split=None,
+    phase_a_rows: int | None = None,
 ) -> jax.Array:
     """Full fused render (single dispatch, no host syncs).
 
@@ -1037,8 +1040,10 @@ def render_image_pallas(
     ``omega=None`` honors ``config.relaxation``. ``split`` (from
     ``csdf.compile_scene_split``) enables per-tile scene specialization.
     ``two_phase="block"`` selects block-granule ray retirement (swizzled
-    layout only; ``tail_cap`` then counts 8-row blocks, None = 1/8 image).
-    Returns linear RGB ``(H, W, 3)``."""
+    layout only; ``tail_cap`` then counts 8-row blocks, None = 1/8 image;
+    ``phase_a_rows`` sets phase A's Pallas block height — divergence there
+    is capped at ``phase_a_steps``, so taller blocks can trade divergence
+    for VPU ILP). Returns linear RGB ``(H, W, 3)``."""
     omega = config.relaxation if omega is None else float(omega)
     h, w = origins.shape[:2]
     if two_phase == "block" and not swizzle:
@@ -1049,5 +1054,5 @@ def render_image_pallas(
         csdf, origins, directions,
         jnp.broadcast_to(jnp.asarray(cone_radius, jnp.float32), (h, w)),
         config, bb, use_bb_skip, two_phase, phase_a_steps, tail_cap,
-        interpret, h, w, omega, swizzle, split,
+        interpret, h, w, omega, swizzle, split, phase_a_rows,
     )

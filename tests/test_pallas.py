@@ -156,6 +156,16 @@ class TestPallasRender:
                 )
             )
             np.testing.assert_array_equal(ragged, base)
+        # taller phase-A blocks (the sweepable ILP knob) change only the
+        # grid decomposition, never a pixel; non-divisor heights fall back
+        for rows in (16, 64, 96, 100):
+            tall = np.asarray(
+                render_image_pallas(
+                    csdf, origins, dirs, cone, bb=bb, two_phase="block",
+                    phase_a_steps=24, phase_a_rows=rows, interpret=True,
+                )
+            )
+            np.testing.assert_array_equal(tall, base)
 
     def test_bb_skip_safety(self):
         """BB-skip must never change any pixel vs no-skip."""
