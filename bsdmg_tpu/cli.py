@@ -597,7 +597,8 @@ def cmd_bench(args) -> None:
         if args.which in ("all", "render"):
             tp = {"row": True, "block": "block"}.get(args.two_phase, False)
             r = benchmark_render(
-                args.width, args.height, two_phase=tp, unroll=args.unroll
+                args.width, args.height, two_phase=tp, unroll=args.unroll,
+                phase_a_rows=args.phase_a_rows,
             )
             results["render"] = {
                 "rays_per_s": r["rays_per_s"],
@@ -768,6 +769,10 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument(
         "--unroll", type=int, default=1,
         help="render: independent frames per loop iteration (overlap)",
+    )
+    b.add_argument(
+        "--phase-a-rows", type=int, default=None,
+        help="render with --two-phase block: phase-A Pallas block height",
     )
     b.set_defaults(fn=cmd_bench)
 
