@@ -39,6 +39,7 @@ import json
 from pathlib import Path
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,6 +59,24 @@ _PRIM_FIELDS: dict[str, dict[str, tuple[int, Any]]] = {
         "center": (3, (0.0, 0.0, 0.0)),
         "size": (3, (1.0, 1.0, 1.0)),
         "line_width": (1, 0.05),
+    },
+    # torus in the xz plane: major radius in xz, minor tube radius
+    "torus": {
+        "center": (3, (0.0, 0.0, 0.0)),
+        "major_radius": (1, 1.0),
+        "minor_radius": (1, 0.25),
+    },
+    # capped cylinder along +y
+    "cylinder": {
+        "center": (3, (0.0, 0.0, 0.0)),
+        "radius": (1, 0.5),
+        "height": (1, 1.0),
+    },
+    # half-space: dot(p, normal) - offset (normal need not be unit; it is
+    # normalized at eval). Unbounded -> disables the slab cull.
+    "plane": {
+        "normal": (3, (0.0, 1.0, 0.0)),
+        "offset": (1, 0.0),
     },
 }
 _OP_FIELDS: dict[str, dict[str, tuple[int, Any]]] = {
@@ -191,6 +210,28 @@ def _eval(node: dict, get: Callable[[dict, str], Any], x, y, z):
                 get(node, "center"), get(node, "size"), get(node, "line_width"),
                 reference_compat=bool(node.get("reference_compat", False)),
             )
+        if kind == "torus":
+            c = _vec3(get(node, "center"))
+            R = get(node, "major_radius")
+            px, py, pz = x - c[0], y - c[1], z - c[2]
+            ring = jnp.sqrt(px * px + pz * pz) - R
+            return jnp.sqrt(ring * ring + py * py) - get(node, "minor_radius")
+        if kind == "cylinder":
+            c = _vec3(get(node, "center"))
+            px, py, pz = x - c[0], y - c[1], z - c[2]
+            dr = jnp.sqrt(px * px + pz * pz) - get(node, "radius")
+            dy = jnp.abs(py) - get(node, "height") * 0.5
+            ox = jnp.maximum(dr, 0.0)
+            oy = jnp.maximum(dy, 0.0)
+            return jnp.minimum(jnp.maximum(dr, dy), 0.0) + jnp.sqrt(
+                ox * ox + oy * oy
+            )
+        if kind == "plane":
+            n = _vec3(get(node, "normal"))
+            inv = jax.lax.rsqrt(
+                jnp.maximum(n[0] * n[0] + n[1] * n[1] + n[2] * n[2], 1e-24)
+            )
+            return (x * n[0] + y * n[1] + z * n[2]) * inv - get(node, "offset")
         raise AssertionError(kind)
 
     op = node["op"]
@@ -323,6 +364,24 @@ def _node_bounds(node: dict, get) -> tuple[np.ndarray, np.ndarray, float] | None
             pts = np.concatenate([np.asarray(starts), np.asarray(ends)], axis=0)
             lw = float(get(node, "line_width"))
             return pts.min(axis=0) - lw, pts.max(axis=0) + lw, 1e-3
+        if kind == "torus":
+            c = np.asarray(get(node, "center"))
+            reach = np.asarray(
+                [
+                    float(get(node, "major_radius")) + float(get(node, "minor_radius")),
+                    float(get(node, "minor_radius")),
+                    float(get(node, "major_radius")) + float(get(node, "minor_radius")),
+                ]
+            )
+            return c - reach, c + reach, 1e-3
+        if kind == "cylinder":
+            c = np.asarray(get(node, "center"))
+            r = float(get(node, "radius"))
+            h = float(get(node, "height")) / 2.0
+            reach = np.asarray([r, h, r])
+            return c - reach, c + reach, 1e-3
+        if kind == "plane":
+            return None  # a half-space is unbounded
         raise AssertionError(kind)
 
     op = node["op"]
@@ -338,12 +397,23 @@ def _node_bounds(node: dict, get) -> tuple[np.ndarray, np.ndarray, float] | None
             # to k/6; n children chain n-1 folds
             slack += (len(parts) - 1) * float(get(node, "k")) / 6.0
         return lo, hi, slack
-    if op in ("intersect", "subtract"):
-        # the result's zero set lies inside the FIRST child's shape, and
-        # f >= d_first >= d(p, first box) - first slack — the first child's
-        # box is the (sound) reported bound; the intersection of boxes is
-        # NOT (f >= d(p, smaller box) - slack can fail)
+    if op == "subtract":
+        # the result's zero set lies inside the BASE child's shape, and
+        # f >= d_base >= d(p, base box) - base slack — the base child's
+        # box is the (sound) reported bound; the cut children only appear
+        # negated, so their boxes prove nothing
         return _node_bounds(node["children"][0], get)
+    if op == "intersect":
+        # f = max over children >= d_j for EVERY child j, and the surface
+        # lies inside every child's shape — any bounded child's box is
+        # sound (the intersection of the boxes is NOT: f >= d(p, smaller
+        # box) - slack can fail). Prefer the first bounded child so
+        # e.g. intersect(plane, box) still culls.
+        for ch in node["children"]:
+            b = _node_bounds(ch, get)
+            if b is not None:
+                return b
+        return None
     if op == "shell":
         inner = _node_bounds(node["child"], get)
         if inner is None:

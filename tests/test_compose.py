@@ -61,6 +61,25 @@ GADGET = {
 }
 
 
+TABLE = {
+    "root": {
+        "op": "intersect",
+        "children": [
+            {"prim": "plane", "normal": [0.0, 1.0, 0.0], "offset": 0.8},
+            {
+                "op": "union",
+                "children": [
+                    {"prim": "torus", "center": [0.0, 1.0, 0.0],
+                     "major_radius": 1.2, "minor_radius": 0.2},
+                    {"prim": "cylinder", "center": [0.0, 0.4, 0.0],
+                     "radius": 0.3, "height": 1.2},
+                ],
+            },
+        ],
+    }
+}
+
+
 def _points(n=512, extent=3.0, seed=0):
     rng = np.random.RandomState(seed)
     return jnp.asarray(rng.uniform(-extent, extent, (n, 3)), jnp.float32)
@@ -69,7 +88,7 @@ def _points(n=512, extent=3.0, seed=0):
 class TestValidation:
     def test_unknown_primitive(self):
         with pytest.raises(ValueError, match="unknown primitive"):
-            compose_scene({"root": {"prim": "torus"}})
+            compose_scene({"root": {"prim": "cone"}})
 
     def test_unknown_operator(self):
         with pytest.raises(ValueError, match="unknown operator"):
@@ -107,7 +126,7 @@ class TestParams:
         )
 
     def test_points_and_component_forms_agree(self):
-        for spec in (SNOWMAN, GADGET):
+        for spec in (SNOWMAN, GADGET, TABLE):
             scene = compose_scene(spec)
             pts = _points()
             d_pts = scene.sdf(scene.params, pts)
@@ -135,7 +154,7 @@ class TestBakedLowering:
     def test_baked_matches_traced(self):
         from bsdmg_tpu.ops.pallas.csdf import compile_scene_csdf
 
-        for spec in (SNOWMAN, GADGET):
+        for spec in (SNOWMAN, GADGET, TABLE):
             scene = compose_scene(spec)
             baked = compile_scene_csdf(scene)
             assert baked is not None
@@ -160,7 +179,7 @@ class TestBakedLowering:
 
 
 class TestBounds:
-    @pytest.mark.parametrize("spec", [SNOWMAN, GADGET])
+    @pytest.mark.parametrize("spec", [SNOWMAN, GADGET, TABLE])
     def test_surface_inside_bounds(self, spec):
         scene = compose_scene(spec)
         bb = composed_bounds(scene)
@@ -174,7 +193,7 @@ class TestBounds:
         assert near.shape[0] > 0
         assert (near >= lo - 1.1e-2).all() and (near <= hi + 1.1e-2).all()
 
-    @pytest.mark.parametrize("spec", [SNOWMAN, GADGET])
+    @pytest.mark.parametrize("spec", [SNOWMAN, GADGET, TABLE])
     def test_cull_contract_f_ge_boxdist_minus_slack(self, spec):
         """_slab_cull soundness: f(p) >= d(p, box) - slack for every p
         OUTSIDE the box (inside, the cull's |p-c| - r bound is vacuously
@@ -197,6 +216,47 @@ class TestBounds:
         outside = box_d > 0.0
         assert outside.sum() > 1000
         assert (d[outside] >= box_d[outside] - slack - 1e-5).all()
+
+    def test_primitive_exact_values(self):
+        """Spot-check the analytic SDF values of torus/cylinder/plane."""
+        z1 = jnp.zeros(1, jnp.float32)
+
+        def one(spec, p):
+            s = compose_scene({"root": spec})
+            return float(
+                s.csdf(s.params, jnp.float32([p[0]]), jnp.float32([p[1]]),
+                       jnp.float32([p[2]]))[0]
+            )
+
+        torus = {"prim": "torus", "major_radius": 1.0, "minor_radius": 0.25}
+        assert one(torus, (1.0, 0.0, 0.0)) == pytest.approx(-0.25, abs=1e-6)
+        assert one(torus, (2.0, 0.0, 0.0)) == pytest.approx(0.75, abs=1e-6)
+        assert one(torus, (0.0, 1.0, 0.0)) == pytest.approx(
+            np.sqrt(2.0) - 0.25, abs=1e-6
+        )
+
+        cyl = {"prim": "cylinder", "radius": 0.5, "height": 2.0}
+        assert one(cyl, (0.0, 0.0, 0.0)) == pytest.approx(-0.5, abs=1e-6)
+        assert one(cyl, (1.5, 0.0, 0.0)) == pytest.approx(1.0, abs=1e-6)
+        assert one(cyl, (0.0, 2.0, 0.0)) == pytest.approx(1.0, abs=1e-6)
+        assert one(cyl, (1.5, 2.0, 0.0)) == pytest.approx(
+            np.sqrt(2.0), abs=1e-6
+        )
+
+        # non-unit normal must be normalized
+        plane = {"prim": "plane", "normal": [0.0, 2.0, 0.0], "offset": 0.5}
+        assert one(plane, (0.0, 1.5, 0.0)) == pytest.approx(1.0, abs=1e-6)
+
+    def test_intersect_prefers_bounded_child(self):
+        """intersect(plane, bounded) still culls via the bounded child."""
+        scene = compose_scene(TABLE)
+        bb = composed_bounds(scene)
+        assert bb is not None
+        lo, hi = np.asarray(bb[0]), np.asarray(bb[1])
+        # the union child's box: torus reach 1.4 in xz, cylinder down to
+        # y=-0.2, torus tube up to y=1.2
+        np.testing.assert_allclose(lo, [-1.4, -0.2, -1.4], atol=1e-6)
+        np.testing.assert_allclose(hi, [1.4, 1.2, 1.4], atol=1e-6)
 
     def test_wrap_is_unbounded(self):
         scene = compose_scene(
