@@ -371,23 +371,47 @@ def cmd_remesh(args) -> None:
     log.info("wrote %s", out)
 
 
-def _parse_perturb(spec: str) -> dict[str, float]:
-    """Parse ``key=factor,key=factor`` into a dict; factors multiply the
-    scene's true params to form the fit's starting point."""
-    out: dict[str, float] = {}
+def _parse_perturb(spec: str) -> dict[str, tuple[str, float]]:
+    """Parse ``key=factor,key=+delta`` into ``{key: (mode, value)}``.
+
+    A plain number (or ``*number``) multiplies the true param; ``+number``
+    adds to it — the way to perturb zero-valued params (centers, offsets),
+    where a factor would silently change nothing."""
+    out: dict[str, tuple[str, float]] = {}
     for item in spec.split(","):
         item = item.strip()
         if not item:
             continue
         key, _, val = item.partition("=")
+        val = val.strip()
+        mode = "mul"
+        if val.startswith("+"):
+            mode, val = "add", val[1:]
+        elif val.startswith("*"):
+            val = val[1:]
         try:
-            out[key.strip()] = float(val)
+            out[key.strip()] = (mode, float(val))
         except ValueError:
             raise SystemExit(
-                f"--perturb: expected key=factor, got {item!r}"
+                f"--perturb: expected key=factor or key=+delta, got {item!r}"
             ) from None
     if not out:
         raise SystemExit("--perturb: no key=factor pairs found")
+    return out
+
+
+def _apply_perturb(params: dict, perturb: dict) -> dict:
+    """Perturb ``params`` per ``_parse_perturb``'s spec; refuses no-ops."""
+    import numpy as _np
+
+    out = dict(params)
+    for key, (mode, value) in perturb.items():
+        out[key] = out[key] + value if mode == "add" else out[key] * value
+        if _np.allclose(_np.asarray(out[key]), _np.asarray(params[key])):
+            raise SystemExit(
+                f"--perturb: {key} is unchanged by the perturbation "
+                f"({mode} {value}) — for zero-valued params use key=+delta"
+            )
     return out
 
 
@@ -419,17 +443,18 @@ def cmd_fit(args) -> None:
         cam, (args.width, args.height), (args.screen_width, args.screen_height)
     )
 
-    if args.image:
-        _fit_image(args, log, origins, dirs, cone)
-        return
-
     if args.perturb:
         perturb = _parse_perturb(args.perturb)
     elif default_scene:
-        perturb = {"sphere_radius": 1.3, "smooth_k": 0.6}
+        perturb = (
+            {"sphere_radius": ("mul", 1.25), "smooth_k": ("mul", 0.7),
+             "skeleton_line_width": ("mul", 1.3)}
+            if args.image
+            else {"sphere_radius": ("mul", 1.3), "smooth_k": ("mul", 0.6)}
+        )
     else:
         raise SystemExit(
-            f"pass --perturb key=factor[,key=factor] to pick which of "
+            f"pass --perturb key=factor[,key=+delta] to pick which of "
             f"{sorted(scene.params)} to perturb and recover"
         )
     unknown = set(perturb) - set(scene.params)
@@ -438,14 +463,17 @@ def cmd_fit(args) -> None:
             f"--perturb keys {sorted(unknown)} not in scene params "
             f"{sorted(scene.params)}"
         )
+
+    if args.image:
+        _fit_image(args, log, origins, dirs, cone, scene, perturb, default_scene)
+        return
+
     watched = sorted(perturb)
 
     # synthesize a target from the true params, then perturb and recover
     t_target, hit_t = differentiable_hit(scene.sdf, scene.params, origins, dirs, cone)
     t_target = jax.lax.stop_gradient(t_target)
-    params = dict(scene.params)
-    for key, factor in perturb.items():
-        params[key] = params[key] * factor
+    params = _apply_perturb(scene.params, perturb)
 
     stable0 = hit_t.outcome == COLLISION
 
@@ -470,48 +498,69 @@ def cmd_fit(args) -> None:
     log.info("recovered %s (true %s)", fmt(params), fmt(scene.params))
 
 
-def _fit_image(args, log, origins, dirs, cone) -> None:
+def _fit_image(args, log, origins, dirs, cone, scene, perturb, default_scene) -> None:
     """Image-loss inverse rendering with the fused loss+grad step: render a
     target at the true params, perturb, recover by gradient descent. Each
     step is `render_loss_and_grad` — on TPU one fused Pallas kernel.
 
-    A JOINT fit of sphere radius (+25%), smooth_k (-30%) and skeleton line
-    width (+30%). Perturbations that large flip ray outcomes, which pure
-    IFT gradients cannot see (step discontinuities — SURVEY §7 hard-part
-    3); the silhouette-aware closest-approach loss (grad/edge.py,
-    ``edge_weight``) supplies the missing boundary gradients, extending the
-    round-2 ±6% basin to beyond ±25%."""
+    For the default scene this is a JOINT fit of sphere radius (+25%),
+    smooth_k (-30%) and skeleton line width (+30%); any other scene
+    (including composed JSON specs) fits whatever ``--perturb`` names.
+    Large perturbations flip ray outcomes, which pure IFT gradients cannot
+    see (step discontinuities — SURVEY §7 hard-part 3); the
+    silhouette-aware closest-approach loss (grad/edge.py, ``edge_weight``)
+    supplies the missing boundary gradients, extending the round-2 ±6%
+    basin to beyond ±25%."""
     import jax
-    import jax.numpy as jnp
     import optax
 
     from bsdmg_tpu.grad import render_image_diff, render_loss_and_grad
     from bsdmg_tpu.models import reference_render_scene
     from bsdmg_tpu.ops.pallas.csdf import compile_scene_split, scene_bounds
 
-    scene = reference_render_scene()
-    true_params = {
-        k: v
-        for k, v in scene.params.items()
-        if k not in ("object_center", "object_rotation")
-    }
-    lo, hi, slack = scene_bounds(scene)
-    bb = (tuple(v - 0.6 for v in lo), tuple(v + 0.6 for v in hi), slack)
-    far, (nlo, nhi, nslack) = compile_scene_split(scene)
-    split = (
-        far,
-        (tuple(v - 0.6 for v in nlo), tuple(v + 0.6 for v in nhi), nslack),
-    )
+    if scene.csdf is None:
+        raise SystemExit(
+            f"fit --image needs a param-traced component SDF; scene "
+            f"{scene.name!r} has none"
+        )
+    if default_scene:
+        scene = reference_render_scene()
+        true_params = {
+            k: v
+            for k, v in scene.params.items()
+            if k not in ("object_center", "object_rotation")
+        }
+    else:
+        true_params = dict(scene.params)
+
+    # bounds/split over the whole optimization's param range: inflate by
+    # a conservative trust region when available
+    bounds = scene_bounds(scene)
+    bb = None
+    if bounds is not None:
+        lo, hi, slack = bounds
+        bb = (tuple(v - 0.6 for v in lo), tuple(v + 0.6 for v in hi), slack)
+    split = None
+    raw_split = compile_scene_split(scene)
+    if raw_split is not None:
+        far, (nlo, nhi, nslack) = raw_split
+        split = (
+            far,
+            (tuple(v - 0.6 for v in nlo), tuple(v + 0.6 for v in nhi), nslack),
+        )
 
     target = jax.lax.stop_gradient(
         render_image_diff(
             scene.sdf, true_params, origins, dirs, cone, csdf=scene.csdf, bb=bb
         )
     )
-    params = dict(true_params)
-    params["sphere_radius"] = params["sphere_radius"] * 1.25
-    params["smooth_k"] = params["smooth_k"] * 0.7
-    params["skeleton_line_width"] = params["skeleton_line_width"] * 1.3
+    params = _apply_perturb(true_params, perturb)
+    watched = sorted(perturb)
+
+    def fmt(p):
+        return " ".join(
+            f"{k}={np.asarray(p[k]).ravel().round(4).tolist()}" for k in watched
+        )
 
     opt = optax.adam(args.lr * 0.1)
     opt_state = opt.init(params)
@@ -523,18 +572,8 @@ def _fit_image(args, log, origins, dirs, cone) -> None:
         updates, opt_state = opt.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
         if i % 10 == 0 or i == args.steps - 1:
-            log.info(
-                "step %d: loss=%.3e radius=%.4f k=%.4f w=%.4f",
-                i, float(loss), float(params["sphere_radius"]),
-                float(params["smooth_k"]),
-                float(params["skeleton_line_width"]),
-            )
-    log.info(
-        "recovered radius=%.4f (true 1.0) smooth_k=%.4f (true 0.5) "
-        "line_width=%.4f (true 0.1)",
-        float(params["sphere_radius"]), float(params["smooth_k"]),
-        float(params["skeleton_line_width"]),
-    )
+            log.info("step %d: loss=%.3e %s", i, float(loss), fmt(params))
+    log.info("recovered %s (true %s)", fmt(params), fmt(true_params))
 
 
 def cmd_session(args) -> None:

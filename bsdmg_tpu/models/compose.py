@@ -113,7 +113,8 @@ def _validate(node: dict, path: str = "root") -> None:
                 f"available: {sorted(_PRIM_FIELDS)}"
             )
         fields = _PRIM_FIELDS[kind]
-        extra = set(node) - set(fields) - {"prim", "reference_compat"}
+        allowed = {"prim"} | ({"reference_compat"} if kind == "box_skeleton" else set())
+        extra = set(node) - set(fields) - allowed
     elif "op" in node:
         kind = node["op"]
         if kind not in _OP_FIELDS:
@@ -152,16 +153,29 @@ def _fields_of(node: dict) -> dict[str, tuple[int, Any]]:
     return _PRIM_FIELDS[node["prim"]] if "prim" in node else _OP_FIELDS[node["op"]]
 
 
+#: (kind, field) pairs whose spec value must be strictly positive — a zero
+#: here is not a degenerate shape but a NaN factory (smooth_min divides by
+#: k; wrap takes mod cell)
+_MUST_BE_POSITIVE = {("smooth_union", "k"), ("wrap", "cell")}
+
+
 def _collect_params(node: dict, ids: dict[int, str], params: dict) -> None:
     nid = ids[id(node)]
+    kind = node.get("prim") or node["op"]
     for field, (length, default) in _fields_of(node).items():
         raw = node.get(field, default)
         arr = np.asarray(raw, np.float32)
         want = () if length == 1 else (length,)
         if arr.shape != want:
             raise ValueError(
-                f"{nid} ({node.get('prim') or node.get('op')}).{field}: "
+                f"{nid} ({kind}).{field}: "
                 f"expected shape {want or 'scalar'}, got {arr.shape}"
+            )
+        if (kind, field) in _MUST_BE_POSITIVE and not (arr > 0).all():
+            raise ValueError(
+                f"{nid} ({kind}).{field} must be strictly positive, got "
+                f"{raw!r} — a zero produces NaN (smooth_min divides by k; "
+                "wrap takes mod cell)"
             )
         params[f"{nid}_{field}"] = jnp.asarray(arr)
     for ch in _children(node):
@@ -189,42 +203,29 @@ def _eval(node: dict, get: Callable[[dict, str], Any], x, y, z):
         if kind == "sphere":
             return sdf.sd_sphere_c(x, y, z, get(node, "center"), get(node, "radius"))
         if kind == "box":
-            c = _vec3(get(node, "center"))
-            s = _vec3(get(node, "size"))
-            qx = jnp.abs(x - c[0]) - s[0] * 0.5
-            qy = jnp.abs(y - c[1]) - s[1] * 0.5
-            qz = jnp.abs(z - c[2]) - s[2] * 0.5
-            ox = jnp.maximum(qx, 0.0)
-            oy = jnp.maximum(qy, 0.0)
-            oz = jnp.maximum(qz, 0.0)
-            outside = jnp.sqrt(ox * ox + oy * oy + oz * oz)
-            inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
-            return outside + inside
+            return sdf.sd_box_c(x, y, z, get(node, "center"), get(node, "size"))
         if kind == "capsule":
             return _sd_capsule_c(
                 x, y, z, get(node, "start"), get(node, "end"), get(node, "radius")
             )
         if kind == "box_skeleton":
+            # reference_compat defaults True repo-wide (CLAUDE.md): the
+            # reference's %2 edge-placement bug is the parity default; pass
+            # false for the geometrically-correct skeleton
             return sdf.sd_box_skeleton_c(
                 x, y, z,
                 get(node, "center"), get(node, "size"), get(node, "line_width"),
-                reference_compat=bool(node.get("reference_compat", False)),
+                reference_compat=bool(node.get("reference_compat", True)),
             )
         if kind == "torus":
-            c = _vec3(get(node, "center"))
-            R = get(node, "major_radius")
-            px, py, pz = x - c[0], y - c[1], z - c[2]
-            ring = jnp.sqrt(px * px + pz * pz) - R
-            return jnp.sqrt(ring * ring + py * py) - get(node, "minor_radius")
+            return sdf.sd_torus_c(
+                x, y, z, get(node, "center"),
+                get(node, "major_radius"), get(node, "minor_radius"),
+            )
         if kind == "cylinder":
-            c = _vec3(get(node, "center"))
-            px, py, pz = x - c[0], y - c[1], z - c[2]
-            dr = jnp.sqrt(px * px + pz * pz) - get(node, "radius")
-            dy = jnp.abs(py) - get(node, "height") * 0.5
-            ox = jnp.maximum(dr, 0.0)
-            oy = jnp.maximum(dy, 0.0)
-            return jnp.minimum(jnp.maximum(dr, dy), 0.0) + jnp.sqrt(
-                ox * ox + oy * oy
+            return sdf.sd_cylinder_c(
+                x, y, z, get(node, "center"),
+                get(node, "radius"), get(node, "height"),
             )
         if kind == "plane":
             n = _vec3(get(node, "normal"))
@@ -359,7 +360,7 @@ def _node_bounds(node: dict, get) -> tuple[np.ndarray, np.ndarray, float] | None
             starts, ends = sdf._box_skeleton_edges(
                 np.asarray(get(node, "center")),
                 np.asarray(get(node, "size")),
-                bool(node.get("reference_compat", False)),
+                bool(node.get("reference_compat", True)),
             )
             pts = np.concatenate([np.asarray(starts), np.asarray(ends)], axis=0)
             lw = float(get(node, "line_width"))

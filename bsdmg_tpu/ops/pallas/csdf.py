@@ -41,19 +41,13 @@ def sphere_csdf(cx: float, cy: float, cz: float, radius: float) -> CSdf:
 
 
 def box_csdf(center, size) -> CSdf:
-    cx, cy, cz = (float(v) for v in np.broadcast_to(center, (3,)))
-    hx, hy, hz = (float(v) / 2.0 for v in np.broadcast_to(size, (3,)))
+    from bsdmg_tpu.sdf.primitives import sd_box_c
+
+    c = tuple(float(v) for v in np.broadcast_to(center, (3,)))
+    s = tuple(float(v) for v in np.broadcast_to(size, (3,)))
 
     def f(x, y, z):
-        qx = jnp.abs(x - cx) - hx
-        qy = jnp.abs(y - cy) - hy
-        qz = jnp.abs(z - cz) - hz
-        ox = jnp.maximum(qx, 0.0)
-        oy = jnp.maximum(qy, 0.0)
-        oz = jnp.maximum(qz, 0.0)
-        outside = jnp.sqrt(ox * ox + oy * oy + oz * oz)
-        inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
-        return outside + inside
+        return sd_box_c(x, y, z, c, s)
 
     return f
 

@@ -727,8 +727,15 @@ def _render_fused_blocks(
     """
     m, L = cone_s.shape
     nb = m // TILE_S
-    if block_rows is None or m % block_rows:
+    if block_rows is None:
         block_rows = _SWIZZLED_BLOCK_ROWS
+    if block_rows <= 0 or block_rows % TILE_S or m % block_rows:
+        # loud, not a silent fallback: a bench sweep must know the knob
+        # actually applied
+        raise ValueError(
+            f"phase_a_rows={block_rows}: must be a positive multiple of "
+            f"{TILE_S} that divides the {m} swizzled rows"
+        )
     # phase A runs at `block_rows` (divergence there is capped at
     # phase_a_steps, so bigger blocks can trade divergence for VPU ILP);
     # phases B/C keep the 4-vreg default where divergence concentrates

@@ -330,6 +330,41 @@ def sd_sphere_c(x, y, z, center, radius):
     return jnp.sqrt(dx * dx + dy * dy + dz * dz) - radius
 
 
+def sd_box_c(x, y, z, center, size):
+    """Component form of :func:`sd_box` (exact box SDF, signed inside)."""
+    c = _vec3(center)
+    s = _vec3(size)
+    qx = jnp.abs(x - c[0]) - s[0] * 0.5
+    qy = jnp.abs(y - c[1]) - s[1] * 0.5
+    qz = jnp.abs(z - c[2]) - s[2] * 0.5
+    ox = jnp.maximum(qx, 0.0)
+    oy = jnp.maximum(qy, 0.0)
+    oz = jnp.maximum(qz, 0.0)
+    outside = jnp.sqrt(ox * ox + oy * oy + oz * oz)
+    inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
+    return outside + inside
+
+
+def sd_torus_c(x, y, z, center, major_radius, minor_radius):
+    """Component-form torus in the xz plane (ring of ``major_radius``,
+    tube of ``minor_radius``)."""
+    c = _vec3(center)
+    px, py, pz = x - c[0], y - c[1], z - c[2]
+    ring = jnp.sqrt(px * px + pz * pz) - major_radius
+    return jnp.sqrt(ring * ring + py * py) - minor_radius
+
+
+def sd_cylinder_c(x, y, z, center, radius, height):
+    """Component-form capped cylinder along +y (exact SDF)."""
+    c = _vec3(center)
+    px, py, pz = x - c[0], y - c[1], z - c[2]
+    dr = jnp.sqrt(px * px + pz * pz) - radius
+    dy = jnp.abs(py) - height * 0.5
+    ox = jnp.maximum(dr, 0.0)
+    oy = jnp.maximum(dy, 0.0)
+    return jnp.minimum(jnp.maximum(dr, dy), 0.0) + jnp.sqrt(ox * ox + oy * oy)
+
+
 def sd_box_skeleton_c(x, y, z, center, size, line_width, *, reference_compat=True):
     """Component form of :func:`sd_box_skeleton` (signed_distance.cu:93-113).
 

@@ -25,10 +25,24 @@ class TestFitFlags:
     def test_perturb_parses(self):
         from bsdmg_tpu.cli import _parse_perturb
 
-        assert _parse_perturb("n1_radius=1.25, n0_k=0.6") == {
-            "n1_radius": 1.25,
-            "n0_k": 0.6,
+        assert _parse_perturb("n1_radius=1.25, n0_k=*0.6, n1_center=+0.5") == {
+            "n1_radius": ("mul", 1.25),
+            "n0_k": ("mul", 0.6),
+            "n1_center": ("add", 0.5),
         }
+
+    def test_apply_perturb_rejects_noop(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from bsdmg_tpu.cli import _apply_perturb
+
+        params = {"c": jnp.zeros(3, jnp.float32), "r": jnp.float32(1.0)}
+        with pytest.raises(SystemExit, match="unchanged"):
+            _apply_perturb(params, {"c": ("mul", 1.3)})
+        out = _apply_perturb(params, {"c": ("add", 0.5), "r": ("mul", 1.3)})
+        assert float(out["r"]) == pytest.approx(1.3)
+        assert float(out["c"][0]) == pytest.approx(0.5)
 
     def test_perturb_rejects_garbage(self):
         import pytest

@@ -65,11 +65,11 @@ TABLE = {
     "root": {
         "op": "intersect",
         "children": [
-            {"prim": "plane", "normal": [0.0, 1.0, 0.0], "offset": 0.8},
+            {"prim": "plane", "normal": [0.0, 1.0, 0.0], "offset": 0.7},
             {
                 "op": "union",
                 "children": [
-                    {"prim": "torus", "center": [0.0, 1.0, 0.0],
+                    {"prim": "torus", "center": [0.0, 0.6, 0.0],
                      "major_radius": 1.2, "minor_radius": 0.2},
                     {"prim": "cylinder", "center": [0.0, 0.4, 0.0],
                      "radius": 0.3, "height": 1.2},
@@ -253,10 +253,29 @@ class TestBounds:
         bb = composed_bounds(scene)
         assert bb is not None
         lo, hi = np.asarray(bb[0]), np.asarray(bb[1])
-        # the union child's box: torus reach 1.4 in xz, cylinder down to
-        # y=-0.2, torus tube up to y=1.2
+        # the union child's box: torus reach 1.4 in xz, cylinder spans
+        # y in [-0.2, 1.0]
         np.testing.assert_allclose(lo, [-1.4, -0.2, -1.4], atol=1e-6)
-        np.testing.assert_allclose(hi, [1.4, 1.2, 1.4], atol=1e-6)
+        np.testing.assert_allclose(hi, [1.4, 1.0, 1.4], atol=1e-6)
+
+    def test_intersection_not_degenerate(self):
+        """The plane genuinely slices the solid: the intersection keeps a
+        substantial interior AND removes a substantial part (regression for
+        a tangent plane that culled the torus entirely)."""
+        scene = compose_scene(TABLE)
+        inner = compose_scene(TABLE["root"]["children"][1])
+        pts = _points(8192, extent=2.0, seed=7)
+        d_cut = np.asarray(
+            scene.csdf(scene.params, pts[:, 0], pts[:, 1], pts[:, 2])
+        )
+        d_full = np.asarray(
+            inner.csdf(inner.params, pts[:, 0], pts[:, 1], pts[:, 2])
+        )
+        kept = (d_cut < 0).sum()
+        removed = ((d_full < 0) & (d_cut >= 0)).sum()
+        # the removed sliver (torus tube above the plane) is thin — ~0.4%
+        # of the sample box — but must be decisively non-empty
+        assert kept > 50 and removed > 20
 
     def test_wrap_is_unbounded(self):
         scene = compose_scene(

@@ -157,8 +157,8 @@ class TestPallasRender:
             )
             np.testing.assert_array_equal(ragged, base)
         # taller phase-A blocks (the sweepable ILP knob) change only the
-        # grid decomposition, never a pixel; non-divisor heights fall back
-        for rows in (16, 64, 96, 100):
+        # grid decomposition, never a pixel
+        for rows in (16, 64, 128):
             tall = np.asarray(
                 render_image_pallas(
                     csdf, origins, dirs, cone, bb=bb, two_phase="block",
@@ -166,6 +166,14 @@ class TestPallasRender:
                 )
             )
             np.testing.assert_array_equal(tall, base)
+        # invalid heights are a loud error, not a silent fallback (a bench
+        # sweep must know the knob applied): non-divisor, sub-tile, zero
+        for rows in (96, 4, 0):
+            with pytest.raises(ValueError, match="phase_a_rows"):
+                render_image_pallas(
+                    csdf, origins, dirs, cone, bb=bb, two_phase="block",
+                    phase_a_steps=24, phase_a_rows=rows, interpret=True,
+                )
 
     def test_bb_skip_safety(self):
         """BB-skip must never change any pixel vs no-skip."""
