@@ -202,11 +202,12 @@ def train_step(
     jax.jit,
     static_argnames=(
         "csdf", "mesh", "config", "bb", "interpret", "h", "w", "split",
+        "two_phase", "phase_a_steps",
     ),
 )
 def _render_sharded_pallas_jit(
     csdf, origins, directions, cone_full, mesh, config, bb, interpret, h, w,
-    split=None,
+    split=None, two_phase=False, phase_a_steps=48,
 ):
     from jax.experimental.shard_map import shard_map
 
@@ -249,9 +250,13 @@ def _render_sharded_pallas_jit(
         check_rep=False,
     )
     def local(o, d, c):
+        # two_phase="block" retires finished 32x32 blocks per shard after
+        # phase_a_steps (tail_cap=None: the per-shard default); row-mode
+        # two-phase keeps the legacy 32/1024 knobs
         return render_swizzled(
             csdf, o, d, c, config, bb, bb is not None,
-            False, 32, 1024, interpret, config.relaxation, split,
+            two_phase, phase_a_steps, None if two_phase == "block" else 1024,
+            interpret, config.relaxation, split,
         )
 
     r, g, b = local(o_s, d_s, c_s)
@@ -353,9 +358,15 @@ def render_sharded_pallas(
     bb: tuple | None = None,
     split=None,
     interpret: bool = False,
+    two_phase: bool | str = False,
+    phase_a_steps: int = 48,
 ):
     """Multi-device fused-kernel rendering: ``shard_map`` over the mesh with
     the single-chip Pallas render kernel inside.
+
+    ``two_phase="block"`` enables per-shard block-granule ray retirement
+    (same semantics and pixel-exactness as the single-chip kernel; each
+    shard compacts its own long-tail blocks, no cross-shard traffic).
 
     The image is swizzled into its (M, 128) 32x32-block layout *globally*,
     then the block rows are dealt round-robin across all chips (both mesh
@@ -378,5 +389,5 @@ def render_sharded_pallas(
     )
     return _render_sharded_pallas_jit(
         csdf, origins, directions, cone_full, mesh, config, bb, interpret,
-        h, w, split,
+        h, w, split, two_phase, phase_a_steps,
     )

@@ -208,6 +208,17 @@ def test_render_sharded_pallas_matches_single_device():
     assert (diff.max(-1) > 2e-2).mean() == 0.0
     assert diff.mean() < 1e-4
 
+    # per-shard block-granule retirement must be pixel-identical to the
+    # single-phase sharded render (the march is resumable; each shard
+    # compacts its own long-tail blocks)
+    blk = np.asarray(
+        render_sharded_pallas(
+            csdf, origins, dirs, cone, mesh, bb=bb, interpret=True,
+            two_phase="block", phase_a_steps=24,
+        )
+    )
+    np.testing.assert_array_equal(blk, img)
+
 
 class TestShardedMeshGeneration:
     def test_sharded_mesh_equals_single_device(self):
