@@ -29,8 +29,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-#: min_margin sentinel for rays the march never sampled (slab-culled sky)
-UNTRACKED = 1e8
+#: min_margin sentinel for rays the march never sampled (slab-culled sky).
+#: MUST equal the initializer the march writes
+#: (ops/pallas/render_kernel.py::_march, ``jnp.full_like(depth0, 1e9)``) —
+#: a single source of truth for "this ray carries no closest-approach
+#: record". Comparisons use strict ``<`` so the sentinel itself reads as
+#: untracked.
+UNTRACKED = 1e9
 
 
 def classify_target_miss(target: jax.Array) -> jax.Array:
@@ -38,13 +43,18 @@ def classify_target_miss(target: jax.Array) -> jax.Array:
 
     The reference palette (compute_render.cu:73-97) makes the three
     outcomes separable after ACES: DepthLimit is black (0,0,0), StepLimit
-    is white (~0.80 per channel), collisions interpolate COLOR_LOW..
-    COLOR_HIGH whose min channel stays < 0.35 and max channel > 0.2.
+    is white — ACES(1,1,1) with the shipped Hill-fit constants is exactly
+    0.6191 per channel (ops/shade.py::aces_tonemap; both ACES matrices
+    have unit row sums) — and collisions interpolate COLOR_LOW..COLOR_HIGH
+    whose min channel stays < 0.35 and max channel > 0.2. The white
+    threshold sits at 0.5, ~0.12 below the actual white, so targets that
+    went through mild darkening (exposure tweaks, lossy encode, bilinear
+    resampling at silhouettes) still classify StepLimit pixels as misses.
     Returns ``True`` where the target shows no surface (black or white).
     """
     mx = jnp.max(target, axis=-1)
     mn = jnp.min(target, axis=-1)
-    return (mx < 0.05) | (mn > 0.6)
+    return (mx < 0.05) | (mn > 0.5)
 
 
 def edge_loss_planes(

@@ -176,12 +176,26 @@ def bake_mesh_grid(
     )
 
 
+def _outside_step(interior, outside):
+    """Sound sphere-trace step for points OUTSIDE the grid box.
+
+    The surface lies inside the box, so ``dist(p, S) >= outside`` (distance
+    to the box) and, by the reverse triangle inequality through the clamp
+    point b, ``dist(p, S) >= f(b) - |p - b| = interior - outside``. The old
+    ``interior + outside`` was an UPPER bound — triangle-inequality slack
+    near box corners let the march overshoot thin features (review finding,
+    round 3). ``max`` of the two lower bounds is the tightest sound step."""
+    return jnp.where(
+        outside > 0.0, jnp.maximum(outside, interior - outside), interior
+    )
+
+
 def grid_sdf(grid: SdfGrid):
     """Differentiable trilinear interpolation SDF ``p (..., 3) -> (...,)``.
 
-    Outside the grid the value falls back to the clamped-boundary sample plus
-    the Euclidean distance to the grid box (a conservative upper bound that
-    keeps sphere tracing correct outside)."""
+    Outside the grid the value falls back to a sound lower bound on the
+    surface distance (:func:`_outside_step`), so sphere tracing cannot
+    overshoot from outside the box."""
     values = grid.values
     r = grid.resolution
     lo = jnp.asarray(grid.lo, jnp.float32)
@@ -219,33 +233,33 @@ def grid_sdf(grid: SdfGrid):
         c1 = c01 + (c11 - c01) * fy
         interior = c0 + (c1 - c0) * fz
 
-        # outside fallback: distance to the box + boundary value
-        # (grad-safe at sq == 0, which is every interior point)
+        # outside fallback (grad-safe at sq == 0, which is every interior
+        # point): see _outside_step for the soundness argument
         box_lo = lo - p
         box_hi = p - hi
         outside_vec = jnp.maximum(jnp.maximum(box_lo, box_hi), 0.0)
         sq = jnp.sum(outside_vec * outside_vec, axis=-1)
         outside = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
-        return interior + outside
+        return _outside_step(interior, outside)
 
     return sdf
 
 
-def grid_csdf(grid: SdfGrid):
-    """Component-form twin of :func:`grid_sdf`: coordinate planes in,
-    distance plane out (full TPU lane occupancy; the 8 corner samples become
-    flat gathers). Used by the mesh pipeline's SoA path for mesh-asset
-    scenes; not Pallas-compatible (vector gathers from an r^3 table)."""
-    r = grid.resolution
-    flat = grid.values.reshape(-1)
-    lo = np.asarray(grid.lo, np.float32)
-    hi = np.asarray(grid.hi, np.float32)
+def make_grid_interp_csdf(at, r: int, lo, hi):
+    """Shared component-form trilinear grid interpolation, parameterized on
+    the corner-sample gather ``at(ix, iy, iz)`` — the ONLY thing that
+    differs between the XLA path (:func:`grid_csdf`, flat vector gathers)
+    and the Pallas kernel (ops/pallas/grid_kernel.py, per-lane ``jnp.take``).
+    Single-sources the math so a numeric fix cannot drift between the
+    oracle and the hardware path."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
     scale = (r - 1) / (hi - lo)
 
     def csdf(x, y, z):
-        qx = (x - lo[0]) * scale[0]
-        qy = (y - lo[1]) * scale[1]
-        qz = (z - lo[2]) * scale[2]
+        qx = (x - float(lo[0])) * float(scale[0])
+        qy = (y - float(lo[1])) * float(scale[1])
+        qz = (z - float(lo[2])) * float(scale[2])
         cx = jnp.clip(qx, 0.0, r - 1 - 1e-4)
         cy = jnp.clip(qy, 0.0, r - 1 - 1e-4)
         cz = jnp.clip(qz, 0.0, r - 1 - 1e-4)
@@ -257,9 +271,6 @@ def grid_csdf(grid: SdfGrid):
         y1 = jnp.minimum(y0 + 1, r - 1)
         z1 = jnp.minimum(z0 + 1, r - 1)
 
-        def at(ix, iy, iz):
-            return flat[(ix * r + iy) * r + iz]
-
         c00 = at(x0, y0, z0) * (1 - fx) + at(x1, y0, z0) * fx
         c10 = at(x0, y1, z0) * (1 - fx) + at(x1, y1, z0) * fx
         c01 = at(x0, y0, z1) * (1 - fx) + at(x1, y0, z1) * fx
@@ -268,14 +279,28 @@ def grid_csdf(grid: SdfGrid):
         c1 = c01 + (c11 - c01) * fy
         interior = c0 + (c1 - c0) * fz
 
-        ox = jnp.maximum(jnp.maximum(lo[0] - x, x - hi[0]), 0.0)
-        oy = jnp.maximum(jnp.maximum(lo[1] - y, y - hi[1]), 0.0)
-        oz = jnp.maximum(jnp.maximum(lo[2] - z, z - hi[2]), 0.0)
+        ox = jnp.maximum(jnp.maximum(float(lo[0]) - x, x - float(hi[0])), 0.0)
+        oy = jnp.maximum(jnp.maximum(float(lo[1]) - y, y - float(hi[1])), 0.0)
+        oz = jnp.maximum(jnp.maximum(float(lo[2]) - z, z - float(hi[2])), 0.0)
         sq = ox * ox + oy * oy + oz * oz
         outside = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
-        return interior + outside
+        return _outside_step(interior, outside)
 
     return csdf
+
+
+def grid_csdf(grid: SdfGrid):
+    """Component-form twin of :func:`grid_sdf`: coordinate planes in,
+    distance plane out (full TPU lane occupancy; the 8 corner samples become
+    flat gathers). Used by the mesh pipeline's SoA path for mesh-asset
+    scenes; not Pallas-compatible (vector gathers from an r^3 table)."""
+    r = grid.resolution
+    flat = grid.values.reshape(-1)
+
+    def at(ix, iy, iz):
+        return flat[(ix * r + iy) * r + iz]
+
+    return make_grid_interp_csdf(at, r, grid.lo, grid.hi)
 
 
 def mesh_scene(vertices, faces, resolution: int = 128, name: str = "mesh"):

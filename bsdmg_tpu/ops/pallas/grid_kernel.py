@@ -41,48 +41,17 @@ MAX_VMEM_RESOLUTION = 64
 def _interp_csdf(table, r: int, lo, hi):
     """Trilinear-interpolation csdf over a flat ``(R^3,)`` table value.
 
-    Same math as models/mesh_sdf.py::grid_csdf with the 8 corner samples as
-    per-lane gathers (``jnp.take``); outside the grid box the clamped
-    boundary sample plus the distance to the box keeps tracing sound."""
-    lo = np.asarray(lo, np.float32)
-    hi = np.asarray(hi, np.float32)
-    scale = (r - 1) / (hi - lo)
+    The math (including the sound outside-box step) is single-sourced in
+    models/mesh_sdf.py::make_grid_interp_csdf; only the corner-sample
+    gather differs — per-lane ``jnp.take`` here vs flat vector gathers in
+    the XLA twin."""
+    from bsdmg_tpu.models.mesh_sdf import make_grid_interp_csdf
 
-    def csdf(x, y, z):
-        qx = (x - lo[0]) * float(scale[0])
-        qy = (y - lo[1]) * float(scale[1])
-        qz = (z - lo[2]) * float(scale[2])
-        cx = jnp.clip(qx, 0.0, r - 1 - 1e-4)
-        cy = jnp.clip(qy, 0.0, r - 1 - 1e-4)
-        cz = jnp.clip(qz, 0.0, r - 1 - 1e-4)
-        x0 = jnp.floor(cx).astype(jnp.int32)
-        y0 = jnp.floor(cy).astype(jnp.int32)
-        z0 = jnp.floor(cz).astype(jnp.int32)
-        fx, fy, fz = cx - x0, cy - y0, cz - z0
-        x1 = jnp.minimum(x0 + 1, r - 1)
-        y1 = jnp.minimum(y0 + 1, r - 1)
-        z1 = jnp.minimum(z0 + 1, r - 1)
+    def at(ix, iy, iz):
+        # indices are clip-guaranteed in range
+        return jnp.take(table, (ix * r + iy) * r + iz, mode="clip")
 
-        def at(ix, iy, iz):
-            # indices are clip-guaranteed in range
-            return jnp.take(table, (ix * r + iy) * r + iz, mode="clip")
-
-        c00 = at(x0, y0, z0) * (1 - fx) + at(x1, y0, z0) * fx
-        c10 = at(x0, y1, z0) * (1 - fx) + at(x1, y1, z0) * fx
-        c01 = at(x0, y0, z1) * (1 - fx) + at(x1, y0, z1) * fx
-        c11 = at(x0, y1, z1) * (1 - fx) + at(x1, y1, z1) * fx
-        c0 = c00 + (c10 - c00) * fy
-        c1 = c01 + (c11 - c01) * fy
-        interior = c0 + (c1 - c0) * fz
-
-        ox = jnp.maximum(jnp.maximum(lo[0] - x, x - hi[0]), 0.0)
-        oy = jnp.maximum(jnp.maximum(lo[1] - y, y - hi[1]), 0.0)
-        oz = jnp.maximum(jnp.maximum(lo[2] - z, z - hi[2]), 0.0)
-        sq = ox * ox + oy * oy + oz * oz
-        outside = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
-        return interior + outside
-
-    return csdf
+    return make_grid_interp_csdf(at, r, lo, hi)
 
 
 def _grid_trace_kernel(r: int, lo, hi, config: MarchConfig, budget: int):
@@ -135,8 +104,8 @@ def grid_trace_pallas(
         raise ValueError(
             f"grid resolution {r}: r^3 = {r**3} is not a multiple of "
             f"{TILE_L}, so the table cannot tile into VMEM lanes; use a "
-            "resolution whose cube divides 128 (e.g. 32, 48, 64) or the "
-            "SoA XLA path (ops/shade.py::render_image_c)"
+            f"resolution whose cube is a multiple of {TILE_L} (e.g. 32, "
+            "48, 64) or the SoA XLA path (ops/shade.py::render_image_c)"
         )
     m, L = cone_s.shape
     if m % TILE_S:

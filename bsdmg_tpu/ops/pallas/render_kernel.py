@@ -269,6 +269,7 @@ def _march(csdf, config: MarchConfig, o, d, cone, active0, depth0, steps0, budge
         )
     elif track_min:
         state0 = state0 + (
+            # 1e9 == grad/edge.py::UNTRACKED — the closest-approach sentinel
             jnp.full_like(depth0, 1e9),
             jnp.zeros_like(depth0),
         )
