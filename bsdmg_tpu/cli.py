@@ -273,12 +273,29 @@ def cmd_animate(args) -> None:
     if moving and not isinstance(scene.params, dict):
         log.warning("scene %s params carry no rigid transform; motion ignored", scene.name)
         moving = False
-    if moving and "object_center" not in scene.params:
+    # composed scenes whose root is a `transform` node take motion through
+    # that node's offset/rotation params (the n0_* keys); map the motion
+    # system's object_center/object_rotation onto them
+    motion_keys = ("object_center", "object_rotation")
+    if (
+        moving
+        and "object_center" not in scene.params
+        and scene.spec is not None
+        and scene.spec["root"].get("op") == "transform"
+    ):
+        motion_keys = ("n0_offset", "n0_rotation")
+    elif moving and "object_center" not in scene.params:
         # grid-SDF mesh scenes bake geometry into the table; their csdf
-        # ignores the transform params motion_params would write
+        # ignores the transform params motion_params would write. Composed
+        # scenes without a root transform node have nowhere to put a rigid
+        # transform either — suggest the wrapper.
+        hint = (
+            " (wrap the spec root in {'op': 'transform', 'child': ...} "
+            "to animate it)" if scene.spec is not None else ""
+        )
         log.warning(
             "scene %s does not consume object_center/object_rotation; "
-            "motion ignored", scene.name,
+            "motion ignored%s", scene.name, hint,
         )
         moving = False
 
@@ -309,14 +326,27 @@ def cmd_animate(args) -> None:
             cam, (args.width, args.height), (args.screen_width, args.screen_height)
         )
         if moving:
-            p_t = motion_params(
-                scene.params,
+            if motion_keys[0] == "object_center":
+                view = scene.params
+            else:
+                view = {
+                    "object_center": scene.params[motion_keys[0]],
+                    "object_rotation": scene.params[motion_keys[1]],
+                }
+            moved = motion_params(
+                view,
                 t,
                 axis_cyclic=axis_cyclic,
                 spheric_cyclic=spheric_cyclic,
                 rotate_axis=rotate_axis,
                 enable_movement=args.enable_movement,
             )
+            if motion_keys[0] == "object_center":
+                p_t = moved
+            else:
+                p_t = dict(scene.params)
+                p_t[motion_keys[0]] = moved["object_center"]
+                p_t[motion_keys[1]] = moved["object_rotation"]
             img = jax.block_until_ready(render_p(p_t, origins, dirs, cone))
         else:
             img = jax.block_until_ready(render(origins, dirs, cone))

@@ -434,6 +434,37 @@ class TestRenderIntegration:
         ))
         assert float(np.median(dist)) < 2e-2
 
+    def test_motion_through_root_transform(self, tmp_path):
+        """animate --motion drives a composed scene whose root is a
+        transform node (object_center/object_rotation map onto the n0_*
+        params); frames must actually move."""
+        import sys
+
+        from PIL import Image
+
+        from bsdmg_tpu.cli import main
+
+        spec = {
+            "root": {
+                "op": "transform",
+                "child": {"prim": "sphere", "radius": 0.8},
+            }
+        }
+        path = tmp_path / "orb.json"
+        path.write_text(json.dumps(spec))
+        argv, sys.argv = sys.argv, [
+            "cli", "animate", "--scene", str(path), "--motion", "axis",
+            "--frames", "2", "--width", "48", "--height", "32",
+            "-o", str(tmp_path / "f"),
+        ]
+        try:
+            main()
+        finally:
+            sys.argv = argv
+        a = np.asarray(Image.open(tmp_path / "f_0000.png"))
+        b = np.asarray(Image.open(tmp_path / "f_0001.png"))
+        assert not np.array_equal(a, b)
+
     def test_json_round_trip(self, tmp_path):
         path = tmp_path / "g.json"
         path.write_text(json.dumps(GADGET))
