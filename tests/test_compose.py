@@ -452,9 +452,11 @@ class TestRenderIntegration:
         }
         path = tmp_path / "orb.json"
         path.write_text(json.dumps(spec))
+        # 3 frames: with 2, the samples land at t=0 and t=2.5 — half the
+        # 5s cycle, where the sinusoid is back at zero offset
         argv, sys.argv = sys.argv, [
             "cli", "animate", "--scene", str(path), "--motion", "axis",
-            "--frames", "2", "--width", "48", "--height", "32",
+            "--frames", "3", "--width", "48", "--height", "32",
             "-o", str(tmp_path / "f"),
         ]
         try:
