@@ -142,6 +142,97 @@ def _project_edges_xla(csdf, x, y, z, active, *, iters, tol, eps, use_grad):
     return px, py, pz, fgx * inv, fgy * inv, fgz * inv
 
 
+def _finish_fused(
+    csdf, safe, vs, tri_edges, tri_valid, active_e, valid_voxel, config,
+    interpret,
+) -> TriangleSoup:
+    """Fused-kernel tail of :func:`extract_triangles`.
+
+    Packs the per-voxel crossing bits and triangle-slot edge ids into int32
+    planes, runs ops/pallas/mc_fused.py (midpoints, in-register compaction,
+    Newton, fd4 normals, pick, winding + swap all in-kernel), then applies
+    the rare-path ambiguous-winding re-resolve with the reference's centroid
+    stencil (compute_mesh_generation.cu:103-113) behind a ``lax.cond``.
+    """
+    from bsdmg_tpu.ops.pallas.mc_fused import mc_fused_pallas
+
+    n = safe.shape[0]
+    budget = min(max(int(config.edge_budget), 1), 12)
+    acti = active_e.astype(jnp.int32)
+    flat_edges = tri_edges.reshape(n, 15)
+    if budget < 12:
+        rank = jnp.cumsum(acti, axis=1) - acti  # exclusive rank (N, 12)
+        nact = jnp.sum(acti, axis=1)
+        edge_overflow = jnp.sum(jnp.maximum(nact - budget, 0))
+        idx = jnp.maximum(flat_edges, 0)
+        srank = jnp.broadcast_to(rank[:, 0:1], idx.shape)
+        for e in range(1, 12):
+            srank = jnp.where(idx == e, rank[:, e : e + 1], srank)
+        over = (srank >= budget) & (flat_edges >= 0)
+        tri_valid = tri_valid & ~jnp.any(over.reshape(n, 5, 3), axis=-1)
+    else:
+        edge_overflow = jnp.int32(0)
+
+    nib = jnp.where(
+        (flat_edges >= 0) & valid_voxel[:, None], flat_edges, 15
+    ).astype(jnp.int32)
+    t0 = sum((nib[:, s] << (4 * s)) for s in range(8))
+    t1 = sum((nib[:, s] << (4 * (s - 8))) for s in range(8, 15))
+    cross_bits = sum(
+        (acti[:, e] << e) for e in range(12)
+    ) * valid_voxel.astype(jnp.int32)
+
+    use_grad = config.projection_normals == "grad"
+    winding = (
+        "vertex_mean"
+        if config.winding_normals == "vertex_mean"
+        else "centroid_fd4"
+    )
+    pos, nrm, dot, amb = mc_fused_pallas(
+        csdf, safe[:, 0], safe[:, 1], safe[:, 2], cross_bits, t0, t1, vs,
+        budget=budget, iters=config.newton_iters,
+        tol=config.newton_tolerance, eps=config.normal_epsilon,
+        use_grad=use_grad, winding=winding, interpret=interpret,
+    )
+    verts = pos.T.reshape(n, 5, 3, 3)
+    normals = nrm.T.reshape(n, 5, 3, 3)
+
+    if winding == "vertex_mean":
+        # ambiguous lanes (vertex normals nearly cancel): undo the kernel's
+        # noise-sign swap and re-resolve with the centroid stencil — the
+        # exact semantics of the staged path's lax.cond fallback
+        ambb = (amb.T.reshape(n, 5) > 0) & tri_valid
+        dotk = dot.T.reshape(n, 5)
+
+        def unswap(x, m):
+            return jnp.where(m[..., None, None], x[..., ::-1, :], x)
+
+        def fix(vn):
+            v, nn = vn
+            kflip = (dotk <= 0.0) & ambb
+            vu = unswap(v, kflip)
+            nu = unswap(nn, kflip)
+            mid = vu.mean(axis=2)  # (N, 5, 3) centroids (order-invariant)
+            ax, ay, az = _grad_fd4_c(
+                csdf, mid[..., 0].reshape(-1), mid[..., 1].reshape(-1),
+                mid[..., 2].reshape(-1), config.normal_epsilon,
+            )
+            g = jnp.cross(vu[:, :, 1] - vu[:, :, 0], vu[:, :, 2] - vu[:, :, 0])
+            dotc = (
+                g[..., 0] * ax.reshape(n, 5)
+                + g[..., 1] * ay.reshape(n, 5)
+                + g[..., 2] * az.reshape(n, 5)
+            )
+            oflip = (dotc <= 0.0) & ambb
+            return unswap(vu, oflip), unswap(nu, oflip)
+
+        verts, normals = jax.lax.cond(
+            jnp.any(ambb), fix, lambda vn: vn, (verts, normals)
+        )
+
+    return TriangleSoup(verts, normals, tri_valid, edge_overflow)
+
+
 def extract_triangles(
     sdf: SdfFn,
     lowers: jax.Array,
@@ -151,6 +242,7 @@ def extract_triangles(
     csdf=None,
     *,
     use_pallas: bool | None = None,
+    use_fused: bool | None = None,
     interpret: bool = False,
 ) -> TriangleSoup:
     """Marching cubes + Newton vertex projection + winding fix.
@@ -167,6 +259,10 @@ def extract_triangles(
         to a wrapper around ``sdf`` when absent.
       use_pallas: run the projection in the per-tile Pallas kernel. Default:
         only when a baked ``csdf`` was provided and the backend is TPU.
+      use_fused: run midpoints/compaction/Newton/normals/pick/winding in the
+        single fused kernel (ops/pallas/mc_fused.py). Default: whenever
+        ``use_pallas`` and edge midpoints are in effect (the reference
+        semantics); ``interpolate_edges=True`` falls back to the staged path.
 
     Returns a :class:`TriangleSoup` with the same per-voxel 5-triangle budget
     as the reference (src/cuda/mod.rs:205).
@@ -200,6 +296,17 @@ def extract_triangles(
     ec1 = MC_EDGE_TABLE[:, 1]
     crossing = inside[:, ec0] != inside[:, ec1]  # (N, 12)
     active_e = crossing & valid_voxel[:, None]
+
+    if use_fused is None:
+        use_fused = use_pallas and not config.interpolate_edges
+    if use_fused:
+        # round-3 production path: midpoints -> in-register compaction ->
+        # Newton -> normals -> pick -> winding all in ONE Pallas kernel
+        # (ops/pallas/mc_fused.py); only classify + table gather stay here
+        return _finish_fused(
+            csdf, safe, vs, tri_edges, tri_valid, active_e, valid_voxel,
+            config, interpret,
+        )
 
     if config.interpolate_edges:
         # true sign-change interpolation along each edge
