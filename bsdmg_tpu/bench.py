@@ -268,8 +268,15 @@ def benchmark_refine(init_factor: int = 64, iters: int = 3):
     }
 
 
-def benchmark_marching_cubes(init_factor: int = 64, iters: int = 3):
-    """Mvoxels/s of marching-cubes extraction (incl. Newton projection)."""
+def benchmark_marching_cubes(
+    init_factor: int = 64, iters: int = 3, levels: int = 2
+):
+    """Mvoxels/s of marching-cubes extraction (incl. Newton projection).
+
+    ``levels=2`` measures at a 256-res surface field (~66k voxels) — large
+    enough that per-dispatch overhead is <5% of the call (at the old
+    single-level 16.5k-voxel field the measurement was dispatch-bound and
+    under-reported kernel throughput ~2x)."""
     import functools
 
     import jax
@@ -285,7 +292,9 @@ def benchmark_marching_cubes(init_factor: int = 64, iters: int = 3):
     sdf = scene.bind()
     csdf = compile_scene_csdf(scene)
     cfg = MeshGenConfig(init_factor=init_factor)
-    field = refine_field(sdf, create_voxel_field(cfg), cfg, csdf=csdf)
+    field = create_voxel_field(cfg)
+    for _ in range(levels):
+        field = refine_field(sdf, field, cfg, csdf=csdf)
     voxel_size = jnp.float32(field.voxel_size)
     count = jnp.int32(field.count)
 

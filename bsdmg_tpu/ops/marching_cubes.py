@@ -33,6 +33,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bsdmg_tpu.config import MeshGenConfig
 from bsdmg_tpu.ops.tables import (
@@ -44,6 +45,12 @@ from bsdmg_tpu.ops.tables import (
 from bsdmg_tpu.sdf.normals import as_component
 
 SdfFn = Callable[[jax.Array], jax.Array]
+
+# (256, 15) triangle-slot edge ids with 15 = invalid, as f32 for the exact
+# one-hot MXU lookup in the fused path (values 0..15 are bf16/f32-exact).
+# Kept as numpy so importing this module never initializes a JAX backend.
+_TRI15_NP = np.asarray(MC_TRIANGLE_CASES).reshape(256, 15)
+_TRI15_TABLE = np.where(_TRI15_NP < 0, 15, _TRI15_NP).astype(np.float32)
 
 
 class TriangleSoup(NamedTuple):
@@ -143,44 +150,32 @@ def _project_edges_xla(csdf, x, y, z, active, *, iters, tol, eps, use_grad):
 
 
 def _finish_fused(
-    csdf, safe, vs, tri_edges, tri_valid, active_e, valid_voxel, config,
-    interpret,
+    csdf, safe, vs, nib, active_e, config, interpret,
 ) -> TriangleSoup:
     """Fused-kernel tail of :func:`extract_triangles`.
 
-    Packs the per-voxel crossing bits and triangle-slot edge ids into int32
-    planes, runs ops/pallas/mc_fused.py (midpoints, in-register compaction,
-    Newton, fd4 normals, pick, winding + swap all in-kernel), then applies
-    the rare-path ambiguous-winding re-resolve with the reference's centroid
-    stencil (compute_mesh_generation.cu:103-113) behind a ``lax.cond``.
+    Packs the per-voxel crossing bits and triangle-slot edge ids (``nib``,
+    already 15-masked for invalid slots/padding voxels) into int32 planes and
+    runs ops/pallas/mc_fused.py (midpoints, in-register compaction, Newton,
+    fd4 normals, pick, winding + swap all in-kernel). Triangle validity and
+    the beyond-budget overflow count come back in the kernel's packed meta
+    plane — no XLA-side rank bookkeeping (the old cumsum + 12-way-select
+    block cost ~10x the kernel itself at 66k voxels).
+
+    The rare-path ambiguous-winding re-resolve (the reference's centroid
+    stencil, compute_mesh_generation.cu:103-113) runs behind a ``lax.cond``
+    *in the kernel's plane layout*, before the (45, N) -> (N, 5, 3, 3)
+    transposes, so the cond's operand capture doesn't force an extra
+    materialization of the transposed buffers.
     """
     from bsdmg_tpu.ops.pallas.mc_fused import mc_fused_pallas
 
     n = safe.shape[0]
     budget = min(max(int(config.edge_budget), 1), 12)
     acti = active_e.astype(jnp.int32)
-    flat_edges = tri_edges.reshape(n, 15)
-    if budget < 12:
-        rank = jnp.cumsum(acti, axis=1) - acti  # exclusive rank (N, 12)
-        nact = jnp.sum(acti, axis=1)
-        edge_overflow = jnp.sum(jnp.maximum(nact - budget, 0))
-        idx = jnp.maximum(flat_edges, 0)
-        srank = jnp.broadcast_to(rank[:, 0:1], idx.shape)
-        for e in range(1, 12):
-            srank = jnp.where(idx == e, rank[:, e : e + 1], srank)
-        over = (srank >= budget) & (flat_edges >= 0)
-        tri_valid = tri_valid & ~jnp.any(over.reshape(n, 5, 3), axis=-1)
-    else:
-        edge_overflow = jnp.int32(0)
-
-    nib = jnp.where(
-        (flat_edges >= 0) & valid_voxel[:, None], flat_edges, 15
-    ).astype(jnp.int32)
     t0 = sum((nib[:, s] << (4 * s)) for s in range(8))
     t1 = sum((nib[:, s] << (4 * (s - 8))) for s in range(8, 15))
-    cross_bits = sum(
-        (acti[:, e] << e) for e in range(12)
-    ) * valid_voxel.astype(jnp.int32)
+    cross_bits = sum((acti[:, e] << e) for e in range(12))
 
     use_grad = config.projection_normals == "grad"
     winding = (
@@ -188,48 +183,67 @@ def _finish_fused(
         if config.winding_normals == "vertex_mean"
         else "centroid_fd4"
     )
-    pos, nrm, dot, amb = mc_fused_pallas(
+    pos, nrm, dot, amb, meta = mc_fused_pallas(
         csdf, safe[:, 0], safe[:, 1], safe[:, 2], cross_bits, t0, t1, vs,
         budget=budget, iters=config.newton_iters,
         tol=config.newton_tolerance, eps=config.normal_epsilon,
         use_grad=use_grad, winding=winding, interpret=interpret,
     )
-    verts = pos.T.reshape(n, 5, 3, 3)
-    normals = nrm.T.reshape(n, 5, 3, 3)
+    tri_valid = ((meta[:, None] >> jnp.arange(5)[None, :]) & 1) > 0  # (N, 5)
+    edge_overflow = jnp.sum(meta >> 5)
 
     if winding == "vertex_mean":
         # ambiguous lanes (vertex normals nearly cancel): undo the kernel's
         # noise-sign swap and re-resolve with the centroid stencil — the
         # exact semantics of the staged path's lax.cond fallback
-        ambb = (amb.T.reshape(n, 5) > 0) & tri_valid
-        dotk = dot.T.reshape(n, 5)
-
-        def unswap(x, m):
-            return jnp.where(m[..., None, None], x[..., ::-1, :], x)
+        ambb = (amb > 0) & (((meta[None, :] >> jnp.arange(5)[:, None]) & 1)
+                            > 0)  # (5, N)
 
         def fix(vn):
-            v, nn = vn
-            kflip = (dotk <= 0.0) & ambb
-            vu = unswap(v, kflip)
-            nu = unswap(nn, kflip)
-            mid = vu.mean(axis=2)  # (N, 5, 3) centroids (order-invariant)
-            ax, ay, az = _grad_fd4_c(
-                csdf, mid[..., 0].reshape(-1), mid[..., 1].reshape(-1),
-                mid[..., 2].reshape(-1), config.normal_epsilon,
-            )
-            g = jnp.cross(vu[:, :, 1] - vu[:, :, 0], vu[:, :, 2] - vu[:, :, 0])
-            dotc = (
-                g[..., 0] * ax.reshape(n, 5)
-                + g[..., 1] * ay.reshape(n, 5)
-                + g[..., 2] * az.reshape(n, 5)
-            )
-            oflip = (dotc <= 0.0) & ambb
-            return unswap(vu, oflip), unswap(nu, oflip)
+            v, nn = vn  # (45, N) planes; slot s coord c = plane 3*s + c
+            outv = [v[p] for p in range(45)]
+            outn = [nn[p] for p in range(45)]
+            def centroid(c):  # (5N,) coordinate-c centroids, t-major
+                return jnp.concatenate([
+                    (v[9 * t + c] + v[9 * t + 3 + c] + v[9 * t + 6 + c]) / 3.0
+                    for t in range(5)
+                ])
 
-        verts, normals = jax.lax.cond(
-            jnp.any(ambb), fix, lambda vn: vn, (verts, normals)
+            ax, ay, az = _grad_fd4_c(
+                csdf, centroid(0), centroid(1), centroid(2),
+                config.normal_epsilon,
+            )
+            ax = ax.reshape(5, n)
+            ay = ay.reshape(5, n)
+            az = az.reshape(5, n)
+            for t in range(5):
+                pa, pb, pc = 9 * t, 9 * t + 3, 9 * t + 6
+                kflip = (dot[t] <= 0.0) & ambb[t]
+                # undo the kernel's noise-sign swap (slots a <-> c)
+                ua = [jnp.where(kflip, v[pc + c], v[pa + c]) for c in range(3)]
+                uc = [jnp.where(kflip, v[pa + c], v[pc + c]) for c in range(3)]
+                na = [jnp.where(kflip, nn[pc + c], nn[pa + c]) for c in range(3)]
+                nc = [jnp.where(kflip, nn[pa + c], nn[pc + c]) for c in range(3)]
+                e1 = [v[pb + c] - ua[c] for c in range(3)]
+                e2 = [uc[c] - ua[c] for c in range(3)]
+                gx = e1[1] * e2[2] - e1[2] * e2[1]
+                gy = e1[2] * e2[0] - e1[0] * e2[2]
+                gz = e1[0] * e2[1] - e1[1] * e2[0]
+                dotc = gx * ax[t] + gy * ay[t] + gz * az[t]
+                oflip = (dotc <= 0.0) & ambb[t]
+                for c in range(3):
+                    outv[pa + c] = jnp.where(oflip, uc[c], ua[c])
+                    outv[pc + c] = jnp.where(oflip, ua[c], uc[c])
+                    outn[pa + c] = jnp.where(oflip, nc[c], na[c])
+                    outn[pc + c] = jnp.where(oflip, na[c], nc[c])
+            return jnp.stack(outv, 0), jnp.stack(outn, 0)
+
+        pos, nrm = jax.lax.cond(
+            jnp.any(ambb), fix, lambda vn: vn, (pos, nrm)
         )
 
+    verts = pos.T.reshape(n, 5, 3, 3)
+    normals = nrm.T.reshape(n, 5, 3, 3)
     return TriangleSoup(verts, normals, tri_valid, edge_overflow)
 
 
@@ -286,9 +300,6 @@ def extract_triangles(
     values = csdf(cx.reshape(-1), cy.reshape(-1), cz.reshape(-1)).reshape(n, 8)
     case = classify(values)  # (N,)
 
-    tri_edges = jnp.asarray(MC_TRIANGLE_CASES)[case]  # (N, 5, 3) edge ids, -1 pad
-    tri_valid = (tri_edges[..., 0] >= 0) & valid_voxel[:, None]  # (N, 5)
-
     # per-edge crossing mask: exactly the edges any triangle can reference
     # (tests/test_mesh.py::test_case_edges_straddle_surface)
     inside = values <= 0.0
@@ -302,11 +313,20 @@ def extract_triangles(
     if use_fused:
         # round-3 production path: midpoints -> in-register compaction ->
         # Newton -> normals -> pick -> winding all in ONE Pallas kernel
-        # (ops/pallas/mc_fused.py); only classify + table gather stay here
-        return _finish_fused(
-            csdf, safe, vs, tri_edges, tri_valid, active_e, valid_voxel,
-            config, interpret,
-        )
+        # (ops/pallas/mc_fused.py); only classify + table lookup stay here.
+        # The 256-case table lookup is a one-hot bf16 matmul on the MXU:
+        # exact (0/1 one-hot x integer nibbles <= 15, f32 accumulation) and
+        # ~7x faster than the per-row gather on this backend.
+        oh = jax.nn.one_hot(case, 256, dtype=jnp.bfloat16)
+        nib = jnp.dot(
+            oh, jnp.asarray(_TRI15_TABLE, jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # (N, 15), 15 = invalid slot
+        nib = jnp.where(valid_voxel[:, None], nib, 15)
+        return _finish_fused(csdf, safe, vs, nib, active_e, config, interpret)
+
+    tri_edges = jnp.asarray(MC_TRIANGLE_CASES)[case]  # (N, 5, 3) edge ids, -1 pad
+    tri_valid = (tri_edges[..., 0] >= 0) & valid_voxel[:, None]  # (N, 5)
 
     if config.interpolate_edges:
         # true sign-change interpolation along each edge

@@ -79,7 +79,7 @@ def _mc_kernel(csdf, budget: int, iters: int, tol: float, eps: float,
     mids = [tuple(float(v) for v in MC_EDGE_MIDPOINTS[e]) for e in range(12)]
 
     def kernel(vs_ref, lx_ref, ly_ref, lz_ref, cross_ref, t0_ref, t1_ref,
-               pos_ref, nrm_ref, dot_ref, amb_ref):
+               pos_ref, nrm_ref, dot_ref, amb_ref, meta_ref):
         vs = vs_ref[0]
         lx, ly, lz = lx_ref[:], ly_ref[:], lz_ref[:]
         cross = cross_ref[:]
@@ -186,10 +186,18 @@ def _mc_kernel(csdf, budget: int, iters: int, tol: float, eps: float,
             snx.append(nx); sny.append(ny); snz.append(nz)
             svalid.append(ok & (rsel < budget))  # beyond-budget = overflow
 
+        # --- validity/overflow meta plane: bit t (0-4) = triangle t valid,
+        # bits 5+ = beyond-budget crossing-edge count. Computed here (the
+        # rank already lives in registers) so the XLA wrapper never re-runs
+        # the cumsum/12-way-select bookkeeping — that XLA block alone cost
+        # ~1.5 ms at 66k voxels, ~10x the whole kernel.
+        meta = jnp.maximum(run - budget, 0) << 5
+
         # --- winding + in-kernel swap (compute_mesh_generation.cu:103) ---
         for t in range(5):
             a, b, c = 3 * t, 3 * t + 1, 3 * t + 2
             tri_ok = svalid[a] & svalid[b] & svalid[c]
+            meta = meta | (tri_ok.astype(jnp.int32) << t)
             e1x = svx[b] - svx[a]; e1y = svy[b] - svy[a]; e1z = svz[b] - svz[a]
             e2x = svx[c] - svx[a]; e2y = svy[c] - svy[a]; e2z = svz[c] - svz[a]
             gx = e1y * e2z - e1z * e2y
@@ -223,6 +231,7 @@ def _mc_kernel(csdf, budget: int, iters: int, tol: float, eps: float,
                 ns_[a], ns_[b], ns_[c] = na, nb, nc
             dot_ref[t] = dot
             amb_ref[t] = amb.astype(jnp.int32)
+        meta_ref[0] = meta
 
         # output layout: plane p = slot s * 3 + coord -> (45, BR, L)
         for s in range(15):
@@ -258,9 +267,11 @@ def mc_fused_pallas(
         (slots 0-7 / 8-14; 15 = invalid slot).
       voxel_size: traced scalar (SMEM).
 
-    Returns ``(pos, nrm, dot, amb)``: ``(45, N)`` swapped vertex coordinate
-    and normal planes (plane ``3*s + c``), ``(5, N)`` winding dots and
-    ambiguity flags for the wrapper's rare-path centroid re-resolve.
+    Returns ``(pos, nrm, dot, amb, meta)``: ``(45, N)`` swapped vertex
+    coordinate and normal planes (plane ``3*s + c``), ``(5, N)`` winding dots
+    and ambiguity flags for the wrapper's rare-path centroid re-resolve, and
+    an ``(N,)`` int32 meta plane — bits 0-4 triangle validity, bits 5+ the
+    voxel's beyond-budget crossing-edge count (``edge_overflow`` source).
     """
     n = lx.shape[0]
     rows = -(-n // (block_rows * _TILE_L)) * block_rows
@@ -290,12 +301,14 @@ def mc_fused_pallas(
         jax.ShapeDtypeStruct((45, rows, _TILE_L), jnp.float32),
         jax.ShapeDtypeStruct((5, rows, _TILE_L), jnp.float32),
         jax.ShapeDtypeStruct((5, rows, _TILE_L), jnp.int32),
+        jax.ShapeDtypeStruct((1, rows, _TILE_L), jnp.int32),
     ]
-    pos, nrm, dot, amb = pl.pallas_call(
+    pos, nrm, dot, amb, meta = pl.pallas_call(
         _mc_kernel(csdf, budget, iters, tol, eps, use_grad, winding),
         grid=(rows // block_rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 6,
-        out_specs=[lead_spec(45), lead_spec(45), lead_spec(5), lead_spec(5)],
+        out_specs=[lead_spec(45), lead_spec(45), lead_spec(5), lead_spec(5),
+                   lead_spec(1)],
         out_shape=out_shape,
         interpret=interpret,
     )(jnp.asarray(voxel_size, jnp.float32).reshape(1), *args)
@@ -304,4 +317,5 @@ def mc_fused_pallas(
         nrm.reshape(45, npad)[:, :n],
         dot.reshape(5, npad)[:, :n],
         amb.reshape(5, npad)[:, :n],
+        meta.reshape(npad)[:n],
     )

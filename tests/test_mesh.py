@@ -279,10 +279,18 @@ class TestComponentFormParity:
 
 
 class TestPallasProjection:
-    def test_pallas_projection_matches_xla(self):
-        """The per-tile Pallas Newton kernel (interpret mode) must agree
-        with the whole-batch XLA oracle path on positions, normals and
-        validity — the mesh-pipeline link of the oracle chain."""
+    @pytest.mark.parametrize("use_fused", [False, True])
+    def test_pallas_projection_matches_xla(self, use_fused):
+        """Both Pallas MC backends (interpret mode), pinned BY NAME, must
+        agree with the whole-batch XLA oracle path on positions, normals and
+        validity — the mesh-pipeline link of the oracle chain.
+
+        ``use_fused=False`` exercises the staged kernel
+        (ops/pallas/mesh_kernel.py::project_edges_pallas — still the
+        production path for ``interpolate_edges=True``); ``use_fused=True``
+        the single fused kernel (ops/pallas/mc_fused.py). Pinning both
+        explicitly keeps a default flip from silently dropping coverage
+        (round-3 VERDICT weak item 1)."""
         from bsdmg_tpu.config import MeshGenConfig
         from bsdmg_tpu.mesh import create_voxel_field, refine_field
         from bsdmg_tpu.models import reference_object
@@ -296,11 +304,12 @@ class TestPallasProjection:
         vs = jnp.float32(field.voxel_size)
         cnt = jnp.int32(field.count)
         a = extract_triangles(
-            scene.bind(), field.lowers, vs, cnt, cfg, csdf, use_pallas=False
+            scene.bind(), field.lowers, vs, cnt, cfg, csdf,
+            use_pallas=False, use_fused=False,
         )
         b = extract_triangles(
             scene.bind(), field.lowers, vs, cnt, cfg, csdf,
-            use_pallas=True, interpret=True,
+            use_pallas=True, use_fused=use_fused, interpret=True,
         )
         np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
         np.testing.assert_allclose(
@@ -458,6 +467,17 @@ class TestEdgeCompaction:
             dataclasses.replace(cfg, edge_budget=12), checker_c,
         )
         assert int(np.asarray(soup.valid).sum()) < int(np.asarray(full.valid).sum())
+        # the fused kernel's in-register overflow accounting (meta plane,
+        # ops/pallas/mc_fused.py) must match the XLA path exactly
+        fused = extract_triangles(
+            checker, lowers, jnp.float32(1.0), jnp.int32(3), cfg, checker_c,
+            use_pallas=True, use_fused=True, interpret=True,
+        )
+        assert int(fused.edge_overflow) == int(soup.edge_overflow)
+        np.testing.assert_array_equal(
+            np.asarray(fused.valid), np.asarray(soup.valid)
+        )
+
         # the wrapper retry restores the full set
         field = VoxelField(lowers=lowers, count=3, voxel_size=1.0, level=0)
         via_wrapper = field_to_triangles(checker, field, cfg, csdf=checker_c)
