@@ -102,6 +102,7 @@ def benchmark_render(
     two_phase: bool | str = False,
     phase_a_steps: int = 48,
     phase_a_rows: int | None = None,
+    omega: float | None = None,
     unroll: int = 1,
 ) -> dict[str, Any]:
     """Rays/s of the reference-scene sphere trace at the given resolution.
@@ -141,7 +142,7 @@ def benchmark_render(
         render_i = lambda i: render_image_pallas(
             csdf, origins + 1e-6 * i, dirs, cone, bb=bb, two_phase=two_phase,
             phase_a_steps=phase_a_steps, phase_a_rows=phase_a_rows,
-            split=split,
+            omega=omega, split=split,
         )
     else:
         sdf = scene.bind()
@@ -322,6 +323,125 @@ def benchmark_marching_cubes(
         "voxels_per_s": field.count / per_call,
         "seconds": per_call,
         "voxel_count": field.count,
+    }
+
+
+def mc_step_stats(init_factor: int = 64, levels: int = 2) -> dict[str, Any]:
+    """Measured Newton step counts of the fused MC kernel's while loop.
+
+    Mirrors ops/pallas/mc_fused.py's execution model outside the kernel:
+    per (8, 128) voxel block the chunked while loop runs until every
+    compacted edge lane's ``|sd| <= tol`` (or ``newton_iters``), rounded up
+    to the chunk size — so the executed-step count is the per-block
+    chunk-rounded maximum of per-lane convergence, not the per-lane mean.
+    Feeds ``avg newton steps`` into ``utils.profiling.mc_roofline`` exactly
+    as ``render_step_stats`` feeds the render roofline.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bsdmg_tpu.config import MeshGenConfig
+    from bsdmg_tpu.mesh import create_voxel_field, refine_field
+    from bsdmg_tpu.models import reference_object
+    from bsdmg_tpu.ops.pallas import compile_scene_csdf
+    from bsdmg_tpu.ops.pallas.mc_fused import _BLOCK_ROWS, _CHUNK, _TILE_L
+    from bsdmg_tpu.ops.tables import (
+        MC_CORNER_OFFSETS, MC_EDGE_MIDPOINTS, MC_EDGE_TABLE,
+    )
+
+    scene = reference_object()
+    sdf = scene.bind()
+    csdf = compile_scene_csdf(scene)
+    cfg = MeshGenConfig(init_factor=init_factor)
+    field = create_voxel_field(cfg)
+    for _ in range(levels):
+        field = refine_field(sdf, field, cfg, csdf=csdf)
+
+    n = int(field.count)
+    lowers = field.lowers[:n]
+    vs = jnp.float32(field.voxel_size)
+    budget = min(max(int(cfg.edge_budget), 1), 12)
+    iters = int(cfg.newton_iters)
+    tol = float(cfg.newton_tolerance)
+
+    offs = jnp.asarray(MC_CORNER_OFFSETS, jnp.float32) * vs
+    cx = lowers[:, 0:1] + offs[None, :, 0]
+    cy = lowers[:, 1:2] + offs[None, :, 1]
+    cz = lowers[:, 2:3] + offs[None, :, 2]
+    values = csdf(cx.reshape(-1), cy.reshape(-1), cz.reshape(-1)).reshape(n, 8)
+    inside = values <= 0.0
+    act = (inside[:, MC_EDGE_TABLE[:, 0]]
+           != inside[:, MC_EDGE_TABLE[:, 1]]).astype(jnp.int32)  # (N, 12)
+    rank = jnp.cumsum(act, axis=1) - act
+
+    mids = jnp.asarray(MC_EDGE_MIDPOINTS, jnp.float32) * vs  # (12, 3)
+    mx = lowers[:, 0:1] + mids[None, :, 0]
+    my = lowers[:, 1:2] + mids[None, :, 1]
+    mz = lowers[:, 2:3] + mids[None, :, 2]
+    # compact each voxel's crossing-edge midpoints into the first `budget`
+    # lanes (the kernel's rank-select; inactive lanes park at 1e6)
+    sel = [(act > 0) & (rank == j) for j in range(budget)]  # each (N, 12)
+    px = jnp.stack([jnp.where(jnp.any(s, 1),
+                              jnp.sum(jnp.where(s, mx, 0.0), 1), 1e6)
+                    for s in sel], 1)  # (N, budget)
+    py = jnp.stack([jnp.where(jnp.any(s, 1),
+                              jnp.sum(jnp.where(s, my, 0.0), 1), 1e6)
+                    for s in sel], 1)
+    pz = jnp.stack([jnp.where(jnp.any(s, 1),
+                              jnp.sum(jnp.where(s, mz, 0.0), 1), 1e6)
+                    for s in sel], 1)
+    active = jnp.stack([jnp.any(s, 1) for s in sel], 1)  # (N, budget)
+
+    def vg(x, y, z):
+        s, vjp = jax.vjp(csdf, x.reshape(-1), y.reshape(-1), z.reshape(-1))
+        gx, gy, gz = vjp(jnp.ones_like(s))
+        shape = x.shape
+        return (s.reshape(shape), gx.reshape(shape), gy.reshape(shape),
+                gz.reshape(shape))
+
+    @jax.jit
+    def needed_steps(px, py, pz, active):
+        def step(carry, _):
+            x, y, z, needed, done = carry
+            sd, gx, gy, gz = vg(x, y, z)
+            conv = jnp.abs(sd) <= tol
+            # this step executed for every not-yet-done lane
+            needed = needed + (~done & active).astype(jnp.int32)
+            done = done | conv
+            inv = jax.lax.rsqrt(jnp.maximum(gx**2 + gy**2 + gz**2, 1e-24))
+            upd = ~done & active
+            return (jnp.where(upd, x - sd * gx * inv, x),
+                    jnp.where(upd, y - sd * gy * inv, y),
+                    jnp.where(upd, z - sd * gz * inv, z),
+                    needed, done), None
+
+        init = (px, py, pz, jnp.zeros(px.shape, jnp.int32),
+                jnp.zeros(px.shape, bool))
+        (x, y, z, needed, done), _ = jax.lax.scan(
+            step, init, None, length=iters
+        )
+        return needed
+
+    needed = np.asarray(needed_steps(px, py, pz, active))  # (N, budget)
+    per_voxel = needed.max(axis=1)  # the interleaved loop carries all lanes
+
+    # the kernel's padded block layout: rows of 128, blocks of 8 rows
+    lanes_per_block = _BLOCK_ROWS * _TILE_L
+    npad = -(-n // lanes_per_block) * lanes_per_block
+    padded = np.zeros(npad, np.int32)
+    padded[:n] = per_voxel
+    block_max = padded.reshape(-1, lanes_per_block).max(axis=1)
+    executed = np.minimum(
+        -(-block_max // _CHUNK) * _CHUNK,
+        -(-iters // _CHUNK) * _CHUNK,
+    )
+    return {
+        "voxels": n,
+        "padded_lanes": int(npad),
+        "budget": budget,
+        "mean_needed_steps": float(per_voxel.mean()),
+        "mean_block_steps": float(executed.mean()),
+        "max_steps": int(per_voxel.max()),
     }
 
 

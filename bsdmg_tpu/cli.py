@@ -691,9 +691,53 @@ def cmd_bench(args) -> None:
         if args.which in ("all", "refine"):
             r = benchmark_refine()
             results["refine"] = {"voxels_per_s": r["voxels_per_s"]}
+            if args.roofline:
+                from bsdmg_tpu.models import reference_object
+                from bsdmg_tpu.ops.pallas import compile_scene_csdf
+                from bsdmg_tpu.utils.profiling import (
+                    csdf_flops_per_eval, refine_roofline,
+                )
+
+                ops = csdf_flops_per_eval(
+                    compile_scene_csdf(reference_object())
+                )
+                roof = refine_roofline(r["input_voxels"], ops_per_eval=ops)
+                results["refine_roofline"] = {
+                    "ops_per_eval": ops,
+                    "evals_per_parent": 27,
+                    "bound": roof.bound,
+                    "speed_of_light_ms": roof.seconds * 1e3,
+                    "pct_of_roofline": 100.0 * roof.efficiency(r["seconds"]),
+                }
         if args.which in ("all", "mc"):
             r = benchmark_marching_cubes()
             results["marching_cubes"] = {"voxels_per_s": r["voxels_per_s"]}
+            if args.roofline:
+                from bsdmg_tpu.bench import mc_step_stats
+                from bsdmg_tpu.models import reference_object
+                from bsdmg_tpu.ops.pallas import compile_scene_csdf
+                from bsdmg_tpu.utils.profiling import (
+                    csdf_flops_per_eval, mc_roofline,
+                )
+
+                stats = mc_step_stats()
+                ops = csdf_flops_per_eval(
+                    compile_scene_csdf(reference_object())
+                )
+                roof = mc_roofline(
+                    stats["padded_lanes"], stats["budget"],
+                    stats["mean_block_steps"],
+                    corner_evals_per_lane=8.0 * stats["voxels"]
+                    / stats["padded_lanes"],
+                    ops_per_eval=ops,
+                )
+                results["mc_roofline"] = {
+                    **stats,
+                    "ops_per_eval": ops,
+                    "bound": roof.bound,
+                    "speed_of_light_ms": roof.seconds * 1e3,
+                    "pct_of_roofline": 100.0 * roof.efficiency(r["seconds"]),
+                }
         if args.which in ("all", "grad"):
             from bsdmg_tpu.bench import benchmark_render_grad
 
