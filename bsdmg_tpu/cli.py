@@ -762,6 +762,10 @@ def cmd_bench(args) -> None:
             from bsdmg_tpu.bench import benchmark_scaling
 
             results["scaling"] = benchmark_scaling(args.width, args.height)
+        if args.which == "scaling-proxy":
+            from bsdmg_tpu.bench import benchmark_scaling_overhead
+
+            results["scaling_proxy"] = benchmark_scaling_overhead()
     if args.trace:
         results["trace_dir"] = args.trace
     print(json.dumps(results, indent=2))
@@ -864,7 +868,12 @@ def build_parser() -> argparse.ArgumentParser:
     se.set_defaults(fn=cmd_session)
 
     b = sub.add_parser("bench", help="operating-point benchmarks")
-    b.add_argument("--which", choices=["all", "render", "refine", "mc", "grad", "scaling"], default="all")
+    b.add_argument(
+        "--which",
+        choices=["all", "render", "refine", "mc", "grad", "scaling",
+                 "scaling-proxy"],
+        default="all",
+    )
     b.add_argument("--width", type=int, default=1920)
     b.add_argument("--height", type=int, default=1080)
     b.add_argument(

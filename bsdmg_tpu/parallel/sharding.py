@@ -114,26 +114,43 @@ def render_sharded(
     out_sharding = NamedSharding(mesh, P("dp", "sp"))
     params = jax.device_put(params, replicated)
 
-    @partial(
-        jax.jit,
-        static_argnums=(0,),
-        out_shardings=out_sharding,
-    )
-    def _render(scene_fn, p, o, d, c):
-        return render_image(
-            lambda q: scene_fn(p, q), o, d, c, config, use_grad_normal=use_grad_normal
-        )
-
-    @partial(jax.jit, static_argnums=(0,), out_shardings=out_sharding)
-    def _render_c(component_fn, p, o, d, c):
-        return render_image_c(
-            component_fn, p, o, d, c, config, use_grad_normal=use_grad_normal
-        )
-
     if csdf is not None:
         # SoA fast path: coordinate planes, full lane occupancy (~20x)
-        return _render_c(csdf, params, origins, directions, cone)
-    return _render(scene, params, origins, directions, cone)
+        return _render_sharded_c_jit(
+            csdf, config, use_grad_normal, out_sharding, params, origins,
+            directions, cone,
+        )
+    return _render_sharded_points_jit(
+        scene, config, use_grad_normal, out_sharding, params, origins,
+        directions, cone,
+    )
+
+
+# module-level jitted bodies: cached per (scene/csdf, config, normals,
+# sharding) across calls — defining the jit inside render_sharded made
+# every frame a fresh wrapper that RECOMPILED the sharded render (the same
+# class of bug the round-2 advisor found in train_step; caught again by
+# bench.benchmark_scaling_overhead measuring a 26x "overhead" that was
+# compile time)
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _render_sharded_points_jit(
+    scene_fn, config, use_grad_normal, out_sharding, p, o, d, c
+):
+    img = render_image(
+        lambda q: scene_fn(p, q), o, d, c, config,
+        use_grad_normal=use_grad_normal,
+    )
+    return jax.lax.with_sharding_constraint(img, out_sharding)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _render_sharded_c_jit(
+    component_fn, config, use_grad_normal, out_sharding, p, o, d, c
+):
+    img = render_image_c(
+        component_fn, p, o, d, c, config, use_grad_normal=use_grad_normal
+    )
+    return jax.lax.with_sharding_constraint(img, out_sharding)
 
 
 @partial(
