@@ -104,6 +104,7 @@ def benchmark_render(
     phase_a_rows: int | None = None,
     omega: float | None = None,
     unroll: int = 1,
+    frames: int = 1,
 ) -> dict[str, Any]:
     """Rays/s of the reference-scene sphere trace at the given resolution.
 
@@ -114,6 +115,10 @@ def benchmark_render(
     iteration: XLA overlaps them (cross-frame pipelining, the serving
     steady state) at an ``unroll``-fold larger executable; 1 = strictly
     sequential frames.
+    ``frames`` > 1 batches that many independent frames into ONE fused-kernel
+    dispatch by stacking their swizzled row planes (the grid grows, the
+    program does not): cross-frame pipelining without the unrolled variant's
+    gigabyte executable. Requires the Pallas path.
     """
     import jax
     import jax.numpy as jnp
@@ -139,11 +144,41 @@ def benchmark_render(
         csdf = compile_scene_csdf(scene)
         bb = scene_bounds(scene)
         split = compile_scene_split(scene)
-        render_i = lambda i: render_image_pallas(
-            csdf, origins + 1e-6 * i, dirs, cone, bb=bb, two_phase=two_phase,
-            phase_a_steps=phase_a_steps, phase_a_rows=phase_a_rows,
-            omega=omega, split=split,
-        )
+        if frames > 1:
+            # Batched-frame dispatch: swizzle the base ray planes once,
+            # stack `frames` per-frame copies (distinct origin offsets so no
+            # two frames fold together) along the swizzled row axis, and run
+            # ONE fused trace+shade kernel over the taller grid. Grid steps
+            # across frames pipeline back-to-back inside a single kernel —
+            # the cross-frame overlap the `unroll` variant measures, at a
+            # constant program size.
+            if two_phase or omega not in (None, 1.0):
+                raise ValueError("frames>1 supports the single-phase path only")
+            from bsdmg_tpu.config import MarchConfig
+            from bsdmg_tpu.ops.pallas.render_kernel import (
+                render_swizzled, swizzled_ray_planes,
+            )
+
+            config = MarchConfig()
+            o_s, d_s, cone_s, _ = swizzled_ray_planes(origins, dirs, cone, height, width)
+
+            def render_batch(base):
+                o_b = jnp.concatenate(
+                    [o_s + 1e-6 * (base + j) for j in range(frames)], axis=0
+                )
+                d_b = jnp.concatenate([d_s] * frames, axis=0)
+                c_b = jnp.concatenate([cone_s] * frames, axis=0)
+                r, g, b = render_swizzled(
+                    csdf, o_b, d_b, c_b, config, bb, True, False,
+                    phase_a_steps, None, False, config.relaxation, split,
+                )
+                return jnp.sum(r) + jnp.sum(g) + jnp.sum(b)
+        else:
+            render_i = lambda i: render_image_pallas(
+                csdf, origins + 1e-6 * i, dirs, cone, bb=bb, two_phase=two_phase,
+                phase_a_steps=phase_a_steps, phase_a_rows=phase_a_rows,
+                omega=omega, split=split,
+            )
     else:
         sdf = scene.bind()
         render_i = lambda i: render_image(
@@ -157,18 +192,31 @@ def benchmark_render(
     # independent frames) but serializes to a 1.5 GB cache entry that takes
     # minutes to push through the device tunnel every fresh process — the
     # sequential-frame number is the stable, reproducible one.
-    @jax.jit
-    def many(k):
-        def body(i, acc):
-            base = i.astype(jnp.float32) * unroll
-            for j in range(unroll):
-                acc = acc + jnp.sum(render_i(base + j))
-            return acc
+    if frames > 1:
 
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+        @jax.jit
+        def many(k):
+            def body(i, acc):
+                return acc + render_batch(i.astype(jnp.float32) * frames)
 
-    per_iter = _slope_time(lambda k: float(many(k)), k1=2, k2=8, iters=iters)
-    per_frame = per_iter / unroll
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        per_iter = _slope_time(lambda k: float(many(k)), k1=2, k2=8, iters=iters)
+        per_frame = per_iter / frames
+    else:
+
+        @jax.jit
+        def many(k):
+            def body(i, acc):
+                base = i.astype(jnp.float32) * unroll
+                for j in range(unroll):
+                    acc = acc + jnp.sum(render_i(base + j))
+                return acc
+
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        per_iter = _slope_time(lambda k: float(many(k)), k1=2, k2=8, iters=iters)
+        per_frame = per_iter / unroll
     rays = width * height
     return {
         "rays_per_s": rays / per_frame,
@@ -177,6 +225,7 @@ def benchmark_render(
         "height": height,
         "pallas": bool(use_pallas),
         "unroll": unroll,
+        "frames": frames,
     }
 
 

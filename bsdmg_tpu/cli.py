@@ -106,6 +106,22 @@ def _make_renderer(scene, prefer_pallas: bool | None = None):
             return lambda o, d, c: render_image_pallas(
                 csdf, o, d, c, bb=bb, split=split
             )
+        if getattr(scene, "grid", None) is not None:
+            # mesh-asset scene: hybrid Pallas grid tracer (any resolution;
+            # >64^3 marches a VMEM-resident lower-bound mip and finishes the
+            # last near-surface steps on the fine table via XLA gathers)
+            from bsdmg_tpu.models.mesh_sdf import coarsen_grid_lower
+            from bsdmg_tpu.ops.pallas.grid_kernel import (
+                MAX_VMEM_RESOLUTION, render_image_grid,
+            )
+
+            grid = scene.grid
+            coarse = (
+                coarsen_grid_lower(grid)
+                if grid.resolution > MAX_VMEM_RESOLUTION
+                else None
+            )
+            return lambda o, d, c: render_image_grid(grid, o, d, c, coarse=coarse)
     if scene.csdf is not None:
         # component-form (SoA) fallback: full lane occupancy (~30x the AoS
         # points path) for scenes the Pallas kernel can't bake — notably

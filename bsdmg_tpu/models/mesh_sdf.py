@@ -303,6 +303,50 @@ def grid_csdf(grid: SdfGrid):
     return make_grid_interp_csdf(at, r, grid.lo, grid.hi)
 
 
+def coarsen_grid_lower(grid: SdfGrid, resolution: int = 64) -> SdfGrid:
+    """Sound *lower-bound* mip of a fine grid SDF for two-level tracing.
+
+    Each coarse vertex takes the MIN over all fine vertices within max-norm
+    radius ``h_c + h_f`` of it. For any point ``p`` in a coarse cell ``C``,
+    every fine vertex of ``p``'s fine cell lies within that window of every
+    corner of ``C``; the fine trilinear value at ``p`` is a convex
+    combination of those fine vertices, hence >= each coarse corner value,
+    hence >= the coarse trilinear value. So
+    ``trilinear(coarse)(p) <= trilinear(fine)(p)`` everywhere in the box —
+    sphere-trace steps on the coarse mip can never overshoot the fine
+    surface, with no interpolation-error bound needed (and no lattice
+    nesting requirement: the window already covers alignment slop).
+
+    The bound understates by at most ``~sqrt(3) * (h_c + h_f)`` (SDF
+    Lipschitz 1), so a coarse march stalls — and hands over to the fine
+    grid — roughly one coarse cell before the surface.
+
+    Pooling runs separably on the host (one-time, per bake).
+    """
+    v = np.asarray(grid.values)
+    r_f = grid.resolution
+    r_c = int(resolution)
+    lo = np.asarray(grid.lo, np.float64)
+    hi = np.asarray(grid.hi, np.float64)
+    out = v
+    for axis in range(3):
+        h_f = (hi[axis] - lo[axis]) / (r_f - 1)
+        h_c = (hi[axis] - lo[axis]) / (r_c - 1)
+        w = h_c + h_f
+        pooled = []
+        for j in range(r_c):
+            q = j * h_c
+            i0 = max(int(np.ceil((q - w) / h_f - 1e-9)), 0)
+            i1 = min(int(np.floor((q + w) / h_f + 1e-9)), r_f - 1)
+            sl = [slice(None)] * 3
+            sl[axis] = slice(i0, i1 + 1)
+            pooled.append(out[tuple(sl)].min(axis=axis, keepdims=True))
+        out = np.concatenate(pooled, axis=axis)
+    return SdfGrid(
+        values=jnp.asarray(out, jnp.float32), lo=grid.lo, hi=grid.hi
+    )
+
+
 def mesh_scene(vertices, faces, resolution: int = 128, name: str = "mesh"):
     """Build a Scene from a triangle mesh (bakes the grid immediately)."""
     from bsdmg_tpu.models.scenes import Scene
@@ -313,4 +357,5 @@ def mesh_scene(vertices, faces, resolution: int = 128, name: str = "mesh"):
     return Scene(
         name, lambda params, p: sdf(p), {"grid": grid.values},
         lambda params, x, y, z: cfn(x, y, z),
+        grid=grid,
     ), grid

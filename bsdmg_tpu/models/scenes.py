@@ -43,6 +43,10 @@ class Scene:
     #: built by ``compose_scene``; lets ops/pallas/csdf.py bake the tree for
     #: the render kernel and derive slab-cull bounds
     spec: Any | None = None
+    #: baked SdfGrid (models/mesh_sdf.py) — present only on mesh-asset
+    #: scenes; routes rendering to the hybrid Pallas grid tracer
+    #: (ops/pallas/grid_kernel.py), which handles any grid resolution
+    grid: Any | None = None
 
     def bind(self, params: Params | None = None) -> Callable[[jax.Array], jax.Array]:
         """Close over ``params`` (default params if None) for APIs that want

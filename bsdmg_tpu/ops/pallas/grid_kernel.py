@@ -138,3 +138,101 @@ def grid_trace_pallas(
         d_s[..., 0], d_s[..., 1], d_s[..., 2],
         cone_s,
     )
+
+
+def grid_trace_hybrid(
+    grid,
+    o_s, d_s, cone_s,
+    config: MarchConfig = MarchConfig(),
+    coarse_resolution: int = MAX_VMEM_RESOLUTION,
+    interpret: bool = False,
+    coarse=None,
+):
+    """Two-level sphere trace for grid SDFs of ANY resolution.
+
+    Grids <= :data:`MAX_VMEM_RESOLUTION` run the single VMEM-resident Pallas
+    kernel. Larger grids (the reference's 1024^3-class assets,
+    src/main.rs:65; BASELINE.md config) run:
+
+    1. **Coarse pass (Pallas, VMEM)**: march a 64^3 min-pooled *lower-bound*
+       mip (models/mesh_sdf.py::coarsen_grid_lower — provably
+       ``coarse(p) <= fine(p)``, so no step can overshoot the fine surface).
+       The conservative pooling slack (~one coarse cell) makes the march
+       stall — i.e. report COLLISION — just before the fine zero level;
+       sky / depth-limit rays resolve entirely in-kernel.
+    2. **Fine pass (XLA)**: rays the coarse pass stopped resume the SAME
+       march loop (render_kernel.py::_march, shared verbatim with the
+       kernel) against the full-resolution trilinear csdf via flat XLA
+       gathers, carrying depth and step count. Only the last ~handful of
+       steps per surface ray pay the HBM-gather cost.
+
+    Returns ``(depth, steps, outcome)`` planes.
+    """
+    from bsdmg_tpu.models.mesh_sdf import coarsen_grid_lower, grid_csdf
+    from bsdmg_tpu.ops.pallas.render_kernel import COLLISION, _march
+
+    r = grid.resolution
+    if r <= MAX_VMEM_RESOLUTION and (r * r * r) % TILE_L == 0:
+        return grid_trace_pallas(
+            grid.values.reshape(-1), r, grid.lo, grid.hi,
+            o_s, d_s, cone_s, config, interpret=interpret,
+        )
+
+    if coarse is None:
+        coarse = coarsen_grid_lower(grid, coarse_resolution)
+    depth1, steps1, outcome1 = grid_trace_pallas(
+        coarse.values.reshape(-1), coarse.resolution, coarse.lo, coarse.hi,
+        o_s, d_s, cone_s, config, interpret=interpret,
+    )
+
+    fine = grid_csdf(grid)
+    resume = outcome1 == COLLISION
+    depth, steps, outcome, _ = _march(
+        fine, config,
+        (o_s[..., 0], o_s[..., 1], o_s[..., 2]),
+        (d_s[..., 0], d_s[..., 1], d_s[..., 2]),
+        cone_s, resume, depth1, steps1, config.step_limit,
+        outcome0=outcome1,
+    )
+    return depth, steps, outcome
+
+
+def render_image_grid(
+    grid,
+    origins, directions, cone_radius,
+    config: MarchConfig = MarchConfig(),
+    coarse_resolution: int = MAX_VMEM_RESOLUTION,
+    interpret: bool = False,
+    coarse=None,
+):
+    """Full render of a grid-SDF (mesh-asset) scene through the hybrid
+    tracer: swizzled Pallas coarse march + XLA fine finish + fd4 normals and
+    the reference shade. Any grid resolution. Returns linear RGB (H, W, 3).
+
+    Semantics note: the hybrid's step *history* differs from a start-to-end
+    fine march (coarse steps are conservative), so accepted hit depths can
+    differ from the pure-XLA path within a few collision epsilons near
+    silhouettes — the mesh surface is itself a bake-resolution approximation
+    (validated within tolerance in tests/test_mesh_sdf.py).
+    """
+    from bsdmg_tpu.models.mesh_sdf import grid_csdf
+    from bsdmg_tpu.ops.pallas.render_kernel import (
+        _fd_normal, _unswizzle, swizzled_ray_planes,
+    )
+    from bsdmg_tpu.ops.shade import shade_planes
+
+    h, w = origins.shape[:2]
+    o_s, d_s, cone_s, (hp, wp, m, _) = swizzled_ray_planes(
+        origins, directions, cone_radius, h, w
+    )
+    depth, _, outcome = grid_trace_hybrid(
+        grid, o_s, d_s, cone_s, config, coarse_resolution, interpret, coarse
+    )
+    fine = grid_csdf(grid)
+    px = o_s[..., 0] + depth * d_s[..., 0]
+    py = o_s[..., 1] + depth * d_s[..., 1]
+    pz = o_s[..., 2] + depth * d_s[..., 2]
+    nx, ny, nz = _fd_normal(fine, px, py, pz, config.normal_epsilon)
+    r, g, b = shade_planes(nx, ny, nz, outcome)
+    r, g, b = (_unswizzle(x[:m], hp, wp) for x in (r, g, b))
+    return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
