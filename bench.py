@@ -1,6 +1,18 @@
-"""Headline benchmark: 1080p sphere-traced render of the reference scene.
+"""Headline benchmark: 1080p sphere-traced render of the reference scene,
+plus driver-captured side metrics for every other pipeline stage.
 
-Prints ONE JSON line: ``{"metric", "value", "unit", "vs_baseline"}``.
+Prints ONE JSON line. The driver contract keys are unchanged —
+``{"metric", "value", "unit", "vs_baseline"}`` describe the 1080p render
+headline — and extra keys ride along (VERDICT round-4 item 3) so each
+round's artifact records all stages, not just the render:
+
+- ``render_rays_per_s_2560x1440``: the resolution the reference was actually
+  built for (src/renderer/mod.rs:10).
+- ``grad_rays_per_s``: fused forward+backward differentiable render, 512^2.
+- ``refine_voxels_per_s``: one refine level at the 64^3 operating point.
+- ``mc_voxels_per_s``: fused marching-cubes extraction at a ~66k-voxel field.
+- ``grid_render_rays_per_s_512``: mesh-asset (baked 128^3 grid) render via
+  the gather-free MXU-contraction tracer at 512^2.
 
 Baseline: the reference publishes no numbers (README.md is install-only, no
 benchmarks/ dir — see BASELINE.md). Its implied operating point is the render
@@ -8,8 +20,8 @@ target it was built for: a 2560x1440 CUDA render presented at AutoVsync 60 Hz
 on sm_86 (src/renderer/mod.rs:10, src/main.rs:52-53), i.e. 2560*1440*60 =
 221.2 Mrays/s. ``vs_baseline`` is measured rays/s divided by that.
 
-Methodology: per-frame *device* time is measured as the slope between K=8
-and K=1 frames-per-dispatch (each dispatch hard-syncs via a scalar pulled to
+Methodology: per-frame *device* time is measured as the slope between K
+frames-per-dispatch points (each dispatch hard-syncs via a scalar pulled to
 the host). This removes the fixed per-dispatch transport cost, which on this
 tunneled TPU is ~25 ms — 3x the actual per-frame device time — and which a
 naive per-call timer would measure instead of the hardware. See
@@ -19,18 +31,86 @@ bsdmg_tpu/bench.py::_slope_time.
 from __future__ import annotations
 
 import json
+import sys
 import time
-
-import numpy as np
 
 WIDTH, HEIGHT = 1920, 1080
 BASELINE_RAYS_PER_S = 2560 * 1440 * 60.0  # implied reference operating point
 
 
-def main() -> None:
-    import jax
+def _try(label: str, fn):
+    """Run one side metric; a failure forfeits that key, never the line."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 — isolate every side metric
+        print(f"# {label} skipped: {type(e).__name__}: {e}", file=sys.stderr)
+        return None
 
-    from bsdmg_tpu.bench import benchmark_render
+
+def _grid_render_rays_per_s(width: int = 512, height: int = 512) -> float:
+    """Mesh-asset render throughput: bake (or load) a 128^3 grid of the
+    reference object, render through the contraction ladder."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bsdmg_tpu.bench import _slope_time
+    from bsdmg_tpu.cam import generate_rays, look_at
+    from bsdmg_tpu.models.mesh_sdf import SdfGrid
+    from bsdmg_tpu.models.scenes import get_scene
+    from bsdmg_tpu.ops.pallas.grid_kernel import (
+        make_contraction_levels, probe_grid_backend, render_image_grid,
+    )
+
+    if probe_grid_backend() != "contraction":
+        raise RuntimeError("contraction kernel unavailable on this backend")
+
+    res = 128
+    path = os.path.join(os.path.dirname(__file__), ".cache", f"refgrid_{res}.npy")
+    if os.path.exists(path):
+        vals = np.load(path)
+    else:
+        sc = get_scene("reference_object")
+        cfn = jax.jit(lambda x, y, z: sc.csdf(sc.params, x, y, z))
+        ax = jnp.linspace(-2.6, 2.6, res)
+        out = []
+        for xs in np.array_split(np.asarray(ax), max(1, res // 32)):
+            X, Y, Z = jnp.meshgrid(jnp.asarray(xs), ax, ax, indexing="ij")
+            out.append(
+                np.asarray(
+                    cfn(X.reshape(-1, res), Y.reshape(-1, res), Z.reshape(-1, res))
+                ).reshape(len(xs), res, res)
+            )
+        vals = np.concatenate(out, 0).astype(np.float32)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.save(path, vals)
+    grid = SdfGrid(values=jnp.asarray(vals), lo=(-2.6,) * 3, hi=(2.6,) * 3)
+    levels = make_contraction_levels(grid)
+
+    cam = look_at((5.0, 2.0, -5.0), (0.0, 0.0, 0.0), fov=60.0)
+    o, d, cone = generate_rays(cam, (width, height), (width, height))
+
+    @jax.jit
+    def many(k):
+        def body(i, acc):
+            img = render_image_grid(
+                grid, o, d, cone, mode="contraction", levels=levels
+            )
+            return acc + img.sum()
+
+        return jax.lax.fori_loop(0, k, body, 0.0)
+
+    sec = _slope_time(lambda k: float(many(jnp.int32(k))), k1=2, k2=8)
+    return width * height / sec
+
+
+def main() -> None:
+    from bsdmg_tpu.bench import (
+        benchmark_marching_cubes, benchmark_refine, benchmark_render,
+        benchmark_render_grad,
+    )
 
     # the tunneled dispatch occasionally jitters enough that _slope_time
     # cannot find a positive slope and raises; one clean retry is cheap
@@ -44,16 +124,30 @@ def main() -> None:
                 raise
             time.sleep(10.0)
     rays_per_s = result["rays_per_s"]
-    print(
-        json.dumps(
-            {
-                "metric": f"render_rays_per_s_{WIDTH}x{HEIGHT}",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
-            }
-        )
-    )
+    out = {
+        "metric": f"render_rays_per_s_{WIDTH}x{HEIGHT}",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+    }
+
+    r = _try("render_2560x1440", lambda: benchmark_render(2560, 1440))
+    if r:
+        out["render_rays_per_s_2560x1440"] = round(r["rays_per_s"], 1)
+    r = _try("grad", benchmark_render_grad)
+    if r:
+        out["grad_rays_per_s"] = round(r["rays_per_s"], 1)
+    r = _try("refine", benchmark_refine)
+    if r:
+        out["refine_voxels_per_s"] = round(r["voxels_per_s"], 1)
+    r = _try("mc", benchmark_marching_cubes)
+    if r:
+        out["mc_voxels_per_s"] = round(r["voxels_per_s"], 1)
+    r = _try("grid_render", _grid_render_rays_per_s)
+    if r:
+        out["grid_render_rays_per_s_512"] = round(r, 1)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -133,6 +133,14 @@ def benchmark_render(
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if frames > 1 and not use_pallas:
+        raise ValueError("frames>1 requires the Pallas path (use_pallas=True)")
+    if frames > 1 and unroll > 1:
+        raise ValueError(
+            "frames>1 and unroll>1 are mutually exclusive: the frames path "
+            "ignores unroll, so the result record would misreport the shape "
+            "of the measured dispatch"
+        )
 
     import functools
 

@@ -109,19 +109,27 @@ def _make_renderer(scene, prefer_pallas: bool | None = None):
         if getattr(scene, "grid", None) is not None:
             # mesh-asset scene: hybrid Pallas grid tracer (any resolution;
             # >64^3 marches a VMEM-resident lower-bound mip and finishes the
-            # last near-surface steps on the fine table via XLA gathers)
-            from bsdmg_tpu.models.mesh_sdf import coarsen_grid_lower
+            # last near-surface steps on the fine table). Probe-compile the
+            # Pallas kernel FIRST: Mosaic on this backend rejects dynamic
+            # gathers outright (round-5 measurement: 1D `jnp.take` raises
+            # NotImplementedError 'Only 2D gather is supported'; 2D
+            # take_along_axis forms crash the remote compile helper), so the
+            # gather-free contraction kernel is the production path and the
+            # SoA XLA march the last-resort fallback.
             from bsdmg_tpu.ops.pallas.grid_kernel import (
-                MAX_VMEM_RESOLUTION, render_image_grid,
+                make_contraction_levels, probe_grid_backend,
+                render_image_grid,
             )
 
             grid = scene.grid
-            coarse = (
-                coarsen_grid_lower(grid)
-                if grid.resolution > MAX_VMEM_RESOLUTION
-                else None
-            )
-            return lambda o, d, c: render_image_grid(grid, o, d, c, coarse=coarse)
+            mode = probe_grid_backend()
+            if mode == "contraction":
+                # precompute the mip ladder ONCE (host-side min-pooling;
+                # per-frame recomputation was the round-4 advisor finding)
+                levels = make_contraction_levels(grid)
+                return lambda o, d, c: render_image_grid(
+                    grid, o, d, c, mode="contraction", levels=levels
+                )
     if scene.csdf is not None:
         # component-form (SoA) fallback: full lane occupancy (~30x the AoS
         # points path) for scenes the Pallas kernel can't bake — notably
