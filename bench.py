@@ -38,8 +38,19 @@ WIDTH, HEIGHT = 1920, 1080
 BASELINE_RAYS_PER_S = 2560 * 1440 * 60.0  # implied reference operating point
 
 
+#: Wall-clock budget: side metrics stop being attempted past this point so
+#: the headline JSON line always prints inside the driver's timeout. The
+#: persistent compile cache (~/.cache/bsdmg_jax) usually keeps a full run
+#: well under it; a cold cache just yields fewer ride-along keys.
+_BUDGET_S = float(__import__("os").environ.get("BSDMG_BENCH_BUDGET_S", 420))
+_T0 = time.monotonic()
+
+
 def _try(label: str, fn):
     """Run one side metric; a failure forfeits that key, never the line."""
+    if time.monotonic() - _T0 > _BUDGET_S:
+        print(f"# {label} skipped: over time budget", file=sys.stderr)
+        return None
     try:
         return fn()
     except Exception as e:  # noqa: BLE001 — isolate every side metric
@@ -50,6 +61,7 @@ def _try(label: str, fn):
 def _grid_render_rays_per_s(width: int = 512, height: int = 512) -> float:
     """Mesh-asset render throughput: bake (or load) a 128^3 grid of the
     reference object, render through the contraction ladder."""
+    import math
     import os
 
     import jax
@@ -86,10 +98,12 @@ def _grid_render_rays_per_s(width: int = 512, height: int = 512) -> float:
         vals = np.concatenate(out, 0).astype(np.float32)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         np.save(path, vals)
-    grid = SdfGrid(values=jnp.asarray(vals), lo=(-2.6,) * 3, hi=(2.6,) * 3)
+    # host-backed on purpose: the mip build stays in numpy (eager device
+    # ops cost 20-240 s remote compiles each on this backend)
+    grid = SdfGrid(values=vals, lo=(-2.6,) * 3, hi=(2.6,) * 3)
     levels = make_contraction_levels(grid)
 
-    cam = look_at((5.0, 2.0, -5.0), (0.0, 0.0, 0.0), fov=60.0)
+    cam = look_at((5.0, 2.0, -5.0), (0.0, 0.0, 0.0), fov=math.pi / 4)
     o, d, cone = generate_rays(cam, (width, height), (width, height))
 
     @jax.jit

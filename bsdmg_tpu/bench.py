@@ -309,7 +309,7 @@ def benchmark_refine(init_factor: int = 64, iters: int = 3):
         def body(i, total):
             out, n_new, _, alive = _refine_blocked_jit(
                 sdf, lowers + 1e-7 * i.astype(jnp.float32), count, size,
-                csdf, block_cap,
+                csdf, block_cap, cfg.bb_min,
             )
             return (
                 total + jnp.sum(out) + n_new.astype(jnp.float32)

@@ -127,9 +127,17 @@ def _make_renderer(scene, prefer_pallas: bool | None = None):
                 # precompute the mip ladder ONCE (host-side min-pooling;
                 # per-frame recomputation was the round-4 advisor finding)
                 levels = make_contraction_levels(grid)
-                return lambda o, d, c: render_image_grid(
+                fn = lambda o, d, c: render_image_grid(
                     grid, o, d, c, mode="contraction", levels=levels
                 )
+                # jit the WHOLE frame: the compacted fine finish is dozens
+                # of XLA ops that each cost a 20-240 s remote compile when
+                # dispatched eagerly on this backend. The fine table embeds
+                # as a jit constant — fine to ~256^3 (64 MB); bigger grids
+                # render eagerly rather than serialize a multi-GB program.
+                if grid.resolution <= 256:
+                    fn = jax.jit(fn)
+                return fn
     if scene.csdf is not None:
         # component-form (SoA) fallback: full lane occupancy (~30x the AoS
         # points path) for scenes the Pallas kernel can't bake — notably

@@ -88,9 +88,21 @@ def refine_field(
 
     nb = (8 * in_cap) // _BLOCK_ROWS
     block_cap = max(64, -(-nb // 4))
+    # packed 2-column fine sort (ops/refine.py): sound only when child
+    # lowers are exact on a dyadic lattice — bb_size mantissa <= 12 bits
+    # (m*ijk then fits f32 exactly) and child resolution < 2^11
+    import math
+
+    mant = math.frexp(config.bb_size)[0]
+    child_res = config.init_factor << (field.level + 1)
+    origin = (
+        config.bb_min
+        if (mant * 4096 == int(mant * 4096) and child_res <= 2048)
+        else None
+    )
     while True:
         out, new_count, new_size, alive = _refine_blocked_jit(
-            sdf, lowers, count, size, csdf, block_cap
+            sdf, lowers, count, size, csdf, block_cap, origin
         )
         n, a = int(new_count), int(alive)
         if a <= block_cap:
@@ -125,10 +137,13 @@ def _pad_to(arr: jax.Array, capacity: int) -> jax.Array:
     return jnp.concatenate([arr, pad], axis=0)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5))
-def _refine_blocked_jit(sdf: SdfFn, lowers, count, voxel_size, csdf, block_cap):
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _refine_blocked_jit(
+    sdf: SdfFn, lowers, count, voxel_size, csdf, block_cap, origin=None
+):
     from bsdmg_tpu.ops.refine import refine_step_blocked
 
     return refine_step_blocked(
-        sdf, lowers, count, voxel_size, block_cap=block_cap, csdf=csdf
+        sdf, lowers, count, voxel_size, block_cap=block_cap, csdf=csdf,
+        origin=origin,
     )

@@ -196,7 +196,7 @@ def grid_sdf(grid: SdfGrid):
     Outside the grid the value falls back to a sound lower bound on the
     surface distance (:func:`_outside_step`), so sphere tracing cannot
     overshoot from outside the box."""
-    values = grid.values
+    values = jnp.asarray(grid.values)  # grids may be host-backed (numpy)
     r = grid.resolution
     lo = jnp.asarray(grid.lo, jnp.float32)
     hi = jnp.asarray(grid.hi, jnp.float32)
@@ -295,7 +295,10 @@ def grid_csdf(grid: SdfGrid):
     flat gathers). Used by the mesh pipeline's SoA path for mesh-asset
     scenes; not Pallas-compatible (vector gathers from an r^3 table)."""
     r = grid.resolution
-    flat = grid.values.reshape(-1)
+    v = grid.values
+    # host-backed grids reshape in numpy (free view) — device_put is a pure
+    # transfer, while an eager device reshape costs a remote compile here
+    flat = jnp.asarray(v.reshape(-1) if isinstance(v, np.ndarray) else v).reshape(-1)
 
     def at(ix, iy, iz):
         return flat[(ix * r + iy) * r + iz]
@@ -321,7 +324,10 @@ def coarsen_grid_lower(grid: SdfGrid, resolution: int = 64) -> SdfGrid:
     Lipschitz 1), so a coarse march stalls — and hands over to the fine
     grid — roughly one coarse cell before the surface.
 
-    Pooling runs separably on the host (one-time, per bake).
+    Pooling runs separably on the host (one-time, per bake), and the result
+    stays HOST-backed: the mip tables become jit operands downstream, and
+    eager device round-trips cost 20-240 s per op on the tunneled backend
+    (round-5 measurement).
     """
     v = np.asarray(grid.values)
     r_f = grid.resolution
@@ -343,7 +349,7 @@ def coarsen_grid_lower(grid: SdfGrid, resolution: int = 64) -> SdfGrid:
             pooled.append(out[tuple(sl)].min(axis=axis, keepdims=True))
         out = np.concatenate(pooled, axis=axis)
     return SdfGrid(
-        values=jnp.asarray(out, jnp.float32), lo=grid.lo, hi=grid.hi
+        values=np.ascontiguousarray(out, np.float32), lo=grid.lo, hi=grid.hi
     )
 
 

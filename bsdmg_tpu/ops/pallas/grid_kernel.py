@@ -375,11 +375,17 @@ def grid_trace_contraction_pallas(
     )(t2, ox, oy, oz, dx, dy, dz, cone, active0, depth0, steps0, outcome0)
 
 
-def _table2(values) -> jax.Array:
+def _table2(values) -> np.ndarray:
     """``(R,R,R)`` C-order grid -> ``(R, R^2)`` contraction layout
-    ``t2[z, x*R+y]``."""
-    r = values.shape[0]
-    return jnp.asarray(values).reshape(r * r, r).T
+    ``t2[z, x*R+y]``.
+
+    HOST-side numpy on purpose: eager device ops here (``.T``,
+    ``.astype``) each cost a 20-240 s remote compile on this backend
+    (round-5 measurement — a mip build took 429 s before this fix). The
+    table uploads as a jit operand at the first kernel call instead."""
+    v = np.asarray(values)
+    r = v.shape[0]
+    return np.ascontiguousarray(v.reshape(r * r, r).T)
 
 
 def make_contraction_levels(grid, mid_resolution: int = MAX_VMEM_RESOLUTION):
@@ -421,11 +427,19 @@ def grid_trace_contraction(
     config: MarchConfig = MarchConfig(),
     levels=None,
     interpret: bool = False,
+    finish_cap: float = 0.375,
 ):
     """Sphere-trace ``(m, 128)`` swizzled ray planes against a baked grid
     SDF with the gather-free contraction ladder (any resolution). Grids
-    ``> MAX_VMEM_RESOLUTION`` finish on the fine table via resume-masked XLA
-    gathers exactly like :func:`grid_trace_hybrid`.
+    ``> MAX_VMEM_RESOLUTION`` finish on the fine table via XLA gathers —
+    run on rays COMPACTED to the resumed set first: XLA TPU gathers cost
+    per gathered element (~8 ns — measured round 5; a windowed (2,2,2)
+    gather is 37x WORSE, not better), so marching full planes pays for
+    every sky pixel at every fine step. ``finish_cap`` bounds the
+    compacted set as a fraction of all rays; rays past the cap (a >37.5%
+    near-surface view — closer than the SoA fallback handles either) stay
+    STEP_LIMIT rather than silently wrong, and render_image_grid logs
+    when that happens.
 
     Returns ``(depth, steps, outcome)`` planes shaped like ``cone_s``."""
     from bsdmg_tpu.models.mesh_sdf import grid_csdf
@@ -476,17 +490,71 @@ def grid_trace_contraction(
 
     exact = levels[-1][6]
     if exact:
-        # the last in-kernel level IS the fine table; the ladder's own
-        # outcomes are final (re-mark still-stalled rays by one last pass?
-        # no: _march already resolved them against the exact table)
+        # the last in-kernel level IS the fine table: outcomes are final
         return depth, steps, outcome
+
+    # ---- compacted XLA fine finish, in shrinking-cap rounds ----
+    # Measured distribution (refscene 128^3 bake, 512^2 real view): 17% of
+    # rays resume; fine steps p50=9, p90=26, p99=54, max=225. A single
+    # compacted march would pay max-steps x full-cap gather width (the
+    # while-loop runs to the LAST ray); rounds re-compact the surviving
+    # tail so late steps run at 1/16 the width.
     fine = grid_csdf(grid)
-    depth, steps, outcome, _ = _march(
-        fine, config,
-        (o_s[..., 0], o_s[..., 1], o_s[..., 2]),
-        (d_s[..., 0], d_s[..., 1], d_s[..., 2]),
-        cone_s, active2, depth, steps, config.step_limit,
-        outcome0=outcome,
+    total = m * L
+    active_flat = active2.reshape(-1)
+    lim = config.step_limit
+    rounds = (
+        (finish_cap, lim // 4),
+        (finish_cap / 4.0, lim // 2),
+        (finish_cap / 16.0, lim),
+    )
+    for frac, budget in rounds:
+        cap_rows = max(
+            TILE_S, -(-int(total * frac) // (TILE_S * TILE_L)) * TILE_S
+        )
+        cap = min(cap_rows * TILE_L, total)
+        n_res = jnp.sum(active_flat.astype(jnp.int32))
+        # fill_value=total -> sentinel reads / dropped writes for dead rows
+        idx = jnp.nonzero(active_flat, size=cap, fill_value=total)[0]
+        live = (jnp.arange(cap) < n_res).reshape(-1, TILE_L)
+
+        def take(x, fill):
+            fx = x.reshape(-1)
+            fx = jnp.concatenate([fx, jnp.full((1,), fill, fx.dtype)])
+            return fx[idx].reshape(-1, TILE_L)
+
+        d2, s2, oc2, unresolved = _march(
+            fine, config,
+            tuple(take(o_s[..., a], 0.0) for a in range(3)),
+            tuple(take(d_s[..., a], 1.0) for a in range(3)),
+            take(cone_s, 1.0),
+            live, take(depth, 0.0), take(steps, jnp.int32(0)),
+            budget, outcome0=take(outcome, jnp.int32(DEPTH_LIMIT)),
+        )
+
+        def put(full, vals):
+            return (
+                full.reshape(-1).at[idx].set(vals.reshape(-1), mode="drop")
+                .reshape(full.shape)
+            )
+
+        depth, steps = put(depth, d2), put(steps, s2)
+        outcome = put(outcome, oc2)
+        # next round: rays this round left unresolved (budget hit), plus
+        # resumed rays the cap dropped (idx never serviced them)
+        serviced = (
+            jnp.zeros((total,), bool).at[idx].set(True, mode="drop")
+        )
+        carried = (
+            jnp.zeros((total,), bool)
+            .at[idx].set((unresolved & live).reshape(-1), mode="drop")
+        )
+        active_flat = carried | (active_flat & ~serviced)
+    # anything still active after the last full-budget round was dropped by
+    # every cap: mark STEP_LIMIT (honest "unresolved"), never a phantom
+    # mip-level COLLISION
+    outcome = jnp.where(
+        active_flat.reshape(outcome.shape), STEP_LIMIT, outcome
     )
     return depth, steps, outcome
 
@@ -574,7 +642,47 @@ def render_image_grid(
     px = o_s[..., 0] + depth * d_s[..., 0]
     py = o_s[..., 1] + depth * d_s[..., 1]
     pz = o_s[..., 2] + depth * d_s[..., 2]
-    nx, ny, nz = _fd_normal(fine, px, py, pz, config.normal_epsilon)
+    if mode == "contraction":
+        # fd4 normals = 12 more gather evals; on the per-element-cost XLA
+        # gather path that is ~200 ms of sky pixels at 512^2. Normals only
+        # matter for COLLISION rays -> compact those (same pattern as the
+        # fine finish), with a full-plane lax.cond fallback so close-up
+        # views (more hits than the cap) stay exact instead of degrading.
+        from bsdmg_tpu.ops.pallas.render_kernel import COLLISION as _COLL
+
+        mrow, L = px.shape
+        total = mrow * L
+        cap = max(TILE_S, (-(-int(total * 0.375) // (TILE_S * TILE_L))) * TILE_S) * TILE_L
+        cap = min(cap, total)
+        hit = outcome == _COLL
+        n_hit = jnp.sum(hit.astype(jnp.int32))
+
+        def compacted(_):
+            idx = jnp.nonzero(hit.reshape(-1), size=cap, fill_value=total)[0]
+
+            def take(x):
+                fx = jnp.concatenate([x.reshape(-1), jnp.zeros((1,), x.dtype)])
+                return fx[idx].reshape(-1, TILE_L)
+
+            nxc, nyc, nzc = _fd_normal(
+                fine, take(px), take(py), take(pz), config.normal_epsilon
+            )
+
+            def put(vals):
+                return (
+                    jnp.zeros((total,), vals.dtype)
+                    .at[idx].set(vals.reshape(-1), mode="drop")
+                    .reshape(px.shape)
+                )
+
+            return put(nxc), put(nyc), put(nzc)
+
+        def full(_):
+            return _fd_normal(fine, px, py, pz, config.normal_epsilon)
+
+        nx, ny, nz = jax.lax.cond(n_hit <= cap, compacted, full, None)
+    else:
+        nx, ny, nz = _fd_normal(fine, px, py, pz, config.normal_epsilon)
     r, g, b = shade_planes(nx, ny, nz, outcome)
     r, g, b = (_unswizzle(x[:m], hp, wp) for x in (r, g, b))
     return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)

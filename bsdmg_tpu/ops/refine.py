@@ -108,6 +108,7 @@ def refine_step_blocked(
     block_cap: int,
     capacity: int | None = None,
     csdf=None,
+    origin: float | None = None,
 ):
     """One refinement level with two-stage blocked compaction.
 
@@ -168,8 +169,30 @@ def refine_step_blocked(
     ]
     mk = bm[sel].reshape(-1)
 
-    key = jnp.where(mk, jnp.int32(0), jnp.int32(1))
-    _, sx, sy, sz = jax.lax.sort((key, *cols), num_keys=1, is_stable=True)
+    if origin is None:
+        key = jnp.where(mk, jnp.int32(0), jnp.int32(1))
+        _, sx, sy, sz = jax.lax.sort((key, *cols), num_keys=1, is_stable=True)
+    else:
+        # Packed fine sort (round-5 VERDICT item 2): on a dyadic lattice
+        # (bb_size with a short mantissa — field.py gates this) child lowers
+        # are exactly ``origin + ijk * child_size`` with ijk < 2^11, so the
+        # 4-column float sort collapses to a 2-column int32 sort (packed
+        # (i,j) + dead flag as the key, k riding along; survivor ORDER is
+        # irrelevant — callers treat the field as a set) and coordinates
+        # are reconstructed from the lattice afterwards. Sort cost scales
+        # with columns on this backend (CLAUDE.md data-movement hierarchy).
+        child = jnp.asarray(voxel_size, jnp.float32) / 2.0
+        inv = 1.0 / child
+
+        def q(c):
+            return jnp.round((c - origin) * inv).astype(jnp.int32)
+
+        hi = jnp.where(mk, (q(cols[0]) << 11) | q(cols[1]), jnp.int32(1) << 30)
+        lo = jnp.where(mk, q(cols[2]), 0)
+        hi, lo = jax.lax.sort((hi, lo), num_keys=1, is_stable=False)
+        sx = origin + ((hi >> 11) & 2047).astype(jnp.float32) * child
+        sy = origin + (hi & 2047).astype(jnp.float32) * child
+        sz = origin + lo.astype(jnp.float32) * child
 
     new_count = jnp.sum(mask.astype(jnp.int32))
     # on block_cap overflow some survivors were dropped by `sel`; mark only

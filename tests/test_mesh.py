@@ -505,3 +505,38 @@ class TestEdgeCompaction:
         np.testing.assert_array_equal(
             np.asarray(a.positions), np.asarray(b.positions)
         )
+
+
+def test_packed_fine_sort_matches_generic():
+    """refine_step_blocked's packed 2-column lattice sort (origin given)
+    must produce exactly the generic 4-column float sort's survivor SET —
+    order may differ (survivors are a set; both paths are compared sorted)."""
+    import jax.numpy as jnp
+
+    from bsdmg_tpu.config import MeshGenConfig
+    from bsdmg_tpu.mesh import create_voxel_field
+    from bsdmg_tpu.mesh.field import _pad_to, _round_capacity
+    from bsdmg_tpu.models import reference_object
+    from bsdmg_tpu.ops.refine import refine_step_blocked
+
+    scene = reference_object()
+    sdf = scene.bind()
+    cfg = MeshGenConfig(init_factor=32)
+    field = create_voxel_field(cfg)
+    cap = _round_capacity(field.count)
+    lowers = _pad_to(field.lowers, cap)
+    count = jnp.int32(field.count)
+    size = jnp.float32(field.voxel_size)
+    nb = 8 * cap // 512
+    a, na, _, _ = refine_step_blocked(
+        sdf, lowers, count, size, block_cap=nb
+    )
+    b, nb_, _, _ = refine_step_blocked(
+        sdf, lowers, count, size, block_cap=nb, origin=cfg.bb_min
+    )
+    assert int(na) == int(nb_) > 0
+    av = np.asarray(a[: int(na)])
+    bv = np.asarray(b[: int(nb_)])
+    np.testing.assert_allclose(
+        av[np.lexsort(av.T)], bv[np.lexsort(bv.T)], atol=0.0
+    )

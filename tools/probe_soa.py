@@ -26,7 +26,7 @@ def bake_ref_grid(R):
     return SdfGrid(values=jnp.asarray(vals, jnp.float32), lo=(-2.6,)*3, hi=(2.6,)*3)
 
 W = H = 512
-cam = look_at((5.0, 2.0, -5.0), (0.0, 0.0, 0.0), fov=60.0)
+cam = look_at((5.0, 2.0, -5.0), (0.0, 0.0, 0.0), fov=np.pi / 4)
 o, d, cone = generate_rays(cam, (W, H), (W, H))
 cfg = MarchConfig()
 
