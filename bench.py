@@ -145,18 +145,19 @@ def main() -> None:
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
     }
 
-    r = _try("render_2560x1440", lambda: benchmark_render(2560, 1440))
-    if r:
-        out["render_rays_per_s_2560x1440"] = round(r["rays_per_s"], 1)
-    r = _try("grad", benchmark_render_grad)
-    if r:
-        out["grad_rays_per_s"] = round(r["rays_per_s"], 1)
+    # cheapest stages first so as many as possible land inside the budget
     r = _try("refine", benchmark_refine)
     if r:
         out["refine_voxels_per_s"] = round(r["voxels_per_s"], 1)
     r = _try("mc", benchmark_marching_cubes)
     if r:
         out["mc_voxels_per_s"] = round(r["voxels_per_s"], 1)
+    r = _try("grad", benchmark_render_grad)
+    if r:
+        out["grad_rays_per_s"] = round(r["rays_per_s"], 1)
+    r = _try("render_2560x1440", lambda: benchmark_render(2560, 1440))
+    if r:
+        out["render_rays_per_s_2560x1440"] = round(r["rays_per_s"], 1)
     r = _try("grid_render", _grid_render_rays_per_s)
     if r:
         out["grid_render_rays_per_s_512"] = round(r, 1)
