@@ -303,7 +303,11 @@ def grid_csdf(grid: SdfGrid):
     def at(ix, iy, iz):
         return flat[(ix * r + iy) * r + iz]
 
-    return make_grid_interp_csdf(at, r, grid.lo, grid.hi)
+    csdf = make_grid_interp_csdf(at, r, grid.lo, grid.hi)
+    # a Mosaic kernel cannot capture the R^3 table: consumers (marching
+    # cubes' fused/projection kernels) must take their XLA twins instead
+    csdf.pallas_compatible = False
+    return csdf
 
 
 def coarsen_grid_lower(grid: SdfGrid, resolution: int = 64) -> SdfGrid:

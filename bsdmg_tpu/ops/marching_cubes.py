@@ -285,7 +285,24 @@ def extract_triangles(
     if csdf is None:
         csdf = as_component(sdf)
     if use_pallas is None:
-        use_pallas = baked and jax.default_backend() == "tpu"
+        # csdfs that close over device arrays (grid-SDF mesh-asset scenes)
+        # cannot enter a Mosaic kernel — kernels capture scalars only.
+        # grid_csdf marks itself ``pallas_compatible=False``; wrappers lose
+        # the mark, so also sniff the closure's jaxpr for big captured
+        # constants (the R^3 table shows up in ClosedJaxpr.consts).
+        use_pallas = (
+            baked
+            and getattr(csdf, "pallas_compatible", True)
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            try:
+                z = jnp.zeros((8,), jnp.float32)
+                consts = jax.make_jaxpr(csdf)(z, z, z).consts
+                if any(getattr(c, "size", 0) > 256 for c in consts):
+                    use_pallas = False
+            except Exception:  # noqa: BLE001 — sniffing must never break MC
+                pass
     n = lowers.shape[0]
     valid_voxel = (
         jnp.ones(n, bool) if count is None else jnp.arange(n) < count
@@ -323,7 +340,17 @@ def extract_triangles(
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)  # (N, 15), 15 = invalid slot
         nib = jnp.where(valid_voxel[:, None], nib, 15)
-        return _finish_fused(csdf, safe, vs, nib, active_e, config, interpret)
+        try:
+            return _finish_fused(
+                csdf, safe, vs, nib, active_e, config, interpret
+            )
+        except ValueError as e:
+            # a csdf that closes over device arrays (grid-SDF mesh-asset
+            # scenes: the R^3 table) cannot enter a Pallas kernel — Mosaic
+            # kernels only capture scalars. Fall through to the staged XLA
+            # path, whose gathers are fine outside the kernel.
+            if "captures constants" not in str(e):
+                raise
 
     tri_edges = jnp.asarray(MC_TRIANGLE_CASES)[case]  # (N, 5, 3) edge ids, -1 pad
     tri_valid = (tri_edges[..., 0] >= 0) & valid_voxel[:, None]  # (N, 5)
@@ -401,12 +428,20 @@ def extract_triangles(
     if use_pallas:
         from bsdmg_tpu.ops.pallas.mesh_kernel import project_edges_pallas
 
-        px, py, pz, nx, ny, nz = project_edges_pallas(
-            csdf, gx, gy, gz, flat_act,
-            iters=config.newton_iters, tol=config.newton_tolerance,
-            eps=config.normal_epsilon, use_grad=use_grad, interpret=interpret,
-        )
-    else:
+        try:
+            px, py, pz, nx, ny, nz = project_edges_pallas(
+                csdf, gx, gy, gz, flat_act,
+                iters=config.newton_iters, tol=config.newton_tolerance,
+                eps=config.normal_epsilon, use_grad=use_grad,
+                interpret=interpret,
+            )
+        except ValueError as e:
+            # grid-SDF csdfs close over the R^3 table, which a Pallas
+            # kernel cannot capture — drop to the XLA twin (same math)
+            if "captures constants" not in str(e):
+                raise
+            use_pallas = False
+    if not use_pallas:
         px, py, pz, nx, ny, nz = _project_edges_xla(
             csdf, gx, gy, gz, flat_act,
             iters=config.newton_iters, tol=config.newton_tolerance,

@@ -26,7 +26,7 @@ src = load_obj(obj_path)
 print(f"loaded {obj_path}: {src.vertex_count} verts {src.triangle_count} tris", flush=True)
 
 t0 = time.perf_counter()
-grid = bake_mesh_grid(src.vertices, src.faces, resolution=256, chunk=8192)
+grid = bake_mesh_grid(src.vertices, src.faces, resolution=256, chunk=4096)
 vals_host = np.asarray(grid.values)  # one pull; keep everything host-backed
 from bsdmg_tpu.models.mesh_sdf import SdfGrid
 grid = SdfGrid(values=vals_host, lo=grid.lo, hi=grid.hi)
@@ -45,7 +45,7 @@ t0 = time.perf_counter()
 img = np.asarray(render())
 rt = time.perf_counter() - t0
 print(f"render frame 2: {rt*1e3:.0f} ms ({W*H/rt/1e6:.2f} Mrays/s incl. dispatch)", flush=True)
-save_png(".cache/torus_render.png", np.asarray(to_rgba8(jnp.asarray(img))))
+save_png(img, ".cache/torus_render.png")
 hitfrac = float((img.sum(-1) > 0.01).mean())
 print(f"wrote .cache/torus_render.png (lit fraction {hitfrac:.3f})", flush=True)
 
@@ -60,7 +60,7 @@ shifted_c = lambda x, y, z: gcsdf(x + center[0], y + center[1], z + center[2])
 mesh = generate_mesh(shifted, refine_steps=5, config=cfg, csdf=shifted_c)
 print(f"extract 32^3 -> 1024^3 (5 refines) + weld: {time.perf_counter()-t0:.1f}s", flush=True)
 mesh.vertices = mesh.vertices + np.asarray(center)
-save_obj(".cache/torus_1024.obj", mesh)
+save_obj(mesh, ".cache/torus_1024.obj")
 print(f"mesh: {mesh.vertex_count} verts {mesh.triangle_count} tris -> .cache/torus_1024.obj", flush=True)
 
 # fidelity: welded vertices must lie on the baked surface

@@ -20,8 +20,8 @@ def torus(R=1.0, r=0.45, nu=96, nv=64):
             b = ((i + 1) % nu) * nv + j
             c = ((i + 1) % nu) * nv + (j + 1) % nv
             d = i * nv + (j + 1) % nv
-            faces.append((a, b, c))
-            faces.append((a, c, d))
+            faces.append((a, c, b))
+            faces.append((a, d, c))
     return verts.astype(np.float32), np.asarray(faces, np.int32)
 
 
