@@ -158,6 +158,15 @@ def main() -> None:
     r = _try("render_2560x1440", lambda: benchmark_render(2560, 1440))
     if r:
         out["render_rays_per_s_2560x1440"] = round(r["rays_per_s"], 1)
+    # serving throughput: two frames per dispatch overlap across frames
+    # (pixel-exact parity proven in tools/frames_sweep.py; F=2 is the
+    # measured optimum of the F=1,2,4,8 sweep)
+    r = _try(
+        "render_1080p_frames2",
+        lambda: benchmark_render(WIDTH, HEIGHT, frames=2),
+    )
+    if r:
+        out["render_rays_per_s_1920x1080_frames2"] = round(r["rays_per_s"], 1)
     r = _try("grid_render", _grid_render_rays_per_s)
     if r:
         out["grid_render_rays_per_s_512"] = round(r, 1)

@@ -4,6 +4,7 @@ Also checks parity: the batched swizzled planes produce pixel-identical
 r/g/b rows to the single-frame kernel for each frame offset.
 """
 import sys
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,6 @@
 """On-TPU sweep: block-granule retirement configs vs headline default."""
 import sys
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 import time
 from bsdmg_tpu.bench import benchmark_render
 
