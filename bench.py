@@ -39,10 +39,12 @@ BASELINE_RAYS_PER_S = 2560 * 1440 * 60.0  # implied reference operating point
 
 
 #: Wall-clock budget: side metrics stop being attempted past this point so
-#: the headline JSON line always prints inside the driver's timeout. The
-#: persistent compile cache (~/.cache/bsdmg_jax) usually keeps a full run
-#: well under it; a cold cache just yields fewer ride-along keys.
-_BUDGET_S = float(__import__("os").environ.get("BSDMG_BENCH_BUDGET_S", 420))
+#: the run ends inside the driver's timeout. The headline contract line is
+#: printed IMMEDIATELY after the headline measurement (before any side
+#: stage), so even a hard kill mid-sides leaves a parseable line on stdout;
+#: a completed run re-prints the enriched line last. Warm-cache full runs
+#: measure ~10-12 min on this rig.
+_BUDGET_S = float(__import__("os").environ.get("BSDMG_BENCH_BUDGET_S", 900))
 _T0 = time.monotonic()
 
 
@@ -144,6 +146,9 @@ def main() -> None:
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
     }
+    # crash-safe early print: if a side stage overruns the driver's own
+    # timeout, this line is the stdout tail and the contract still holds
+    print(json.dumps(out), flush=True)
 
     # cheapest stages first so as many as possible land inside the budget
     r = _try("refine", benchmark_refine)
