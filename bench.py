@@ -150,31 +150,37 @@ def main() -> None:
     # timeout, this line is the stdout tail and the contract still holds
     print(json.dumps(out), flush=True)
 
-    # cheapest stages first so as many as possible land inside the budget
-    r = _try("refine", benchmark_refine)
-    if r:
-        out["refine_voxels_per_s"] = round(r["voxels_per_s"], 1)
-    r = _try("mc", benchmark_marching_cubes)
-    if r:
-        out["mc_voxels_per_s"] = round(r["voxels_per_s"], 1)
-    r = _try("grad", benchmark_render_grad)
-    if r:
-        out["grad_rays_per_s"] = round(r["rays_per_s"], 1)
-    r = _try("render_2560x1440", lambda: benchmark_render(2560, 1440))
-    if r:
-        out["render_rays_per_s_2560x1440"] = round(r["rays_per_s"], 1)
-    # serving throughput: two frames per dispatch overlap across frames
-    # (pixel-exact parity proven in tools/frames_sweep.py; F=2 is the
-    # measured optimum of the F=1,2,4,8 sweep)
-    r = _try(
-        "render_1080p_frames2",
-        lambda: benchmark_render(WIDTH, HEIGHT, frames=2),
-    )
-    if r:
-        out["render_rays_per_s_1920x1080_frames2"] = round(r["rays_per_s"], 1)
-    r = _try("grid_render", _grid_render_rays_per_s)
-    if r:
-        out["grid_render_rays_per_s_512"] = round(r, 1)
+    # cheapest stages first so as many as possible land inside the budget;
+    # the accumulated line re-prints after every stage, so a run killed
+    # mid-stage still leaves every completed key on stdout (last line wins)
+    stages = [
+        ("refine", benchmark_refine, "refine_voxels_per_s", "voxels_per_s"),
+        ("mc", benchmark_marching_cubes, "mc_voxels_per_s", "voxels_per_s"),
+        ("grad", benchmark_render_grad, "grad_rays_per_s", "rays_per_s"),
+        (
+            "render_2560x1440",
+            lambda: benchmark_render(2560, 1440),
+            "render_rays_per_s_2560x1440", "rays_per_s",
+        ),
+        # serving throughput: two frames per dispatch overlap across frames
+        # (pixel-exact parity proven in tools/frames_sweep.py; F=2 is the
+        # measured optimum of the F=1,2,4,8 sweep)
+        (
+            "render_1080p_frames2",
+            lambda: benchmark_render(WIDTH, HEIGHT, frames=2),
+            "render_rays_per_s_1920x1080_frames2", "rays_per_s",
+        ),
+        (
+            "grid_render",
+            lambda: {"v": _grid_render_rays_per_s()},
+            "grid_render_rays_per_s_512", "v",
+        ),
+    ]
+    for label, fn, key, field in stages:
+        r = _try(label, fn)
+        if r:
+            out[key] = round(r[field], 1)
+            print(json.dumps(out), flush=True)
 
     print(json.dumps(out))
 
