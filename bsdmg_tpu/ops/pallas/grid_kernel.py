@@ -597,6 +597,69 @@ def probe_grid_backend() -> str | None:
     return mode
 
 
+def shade_grid_planes_contraction(
+    grid, o_s, d_s, cone_s,
+    config: MarchConfig = MarchConfig(),
+    levels=None,
+    interpret: bool = False,
+):
+    """Per-plane mesh-asset shading: contraction-ladder trace + compacted
+    fd4 normals + the reference shade, on ``(m, 128)`` swizzled planes.
+    Returns ``(r, g, b)`` planes. Shared by :func:`render_image_grid` and
+    the multi-device ``parallel.sharding.render_grid_sharded`` (everything
+    here is shard-local: the compactions, the ladder, the finish)."""
+    from bsdmg_tpu.models.mesh_sdf import grid_csdf
+    from bsdmg_tpu.ops.pallas.render_kernel import COLLISION, _fd_normal
+    from bsdmg_tpu.ops.shade import shade_planes
+
+    depth, _, outcome = grid_trace_contraction(
+        grid, o_s, d_s, cone_s, config, levels, interpret
+    )
+    fine = grid_csdf(grid)
+    px = o_s[..., 0] + depth * d_s[..., 0]
+    py = o_s[..., 1] + depth * d_s[..., 1]
+    pz = o_s[..., 2] + depth * d_s[..., 2]
+    # fd4 normals = 12 more gather evals; on the per-element-cost XLA
+    # gather path that is ~200 ms of sky pixels at 512^2. Normals only
+    # matter for COLLISION rays -> compact those (same pattern as the
+    # fine finish), with a full-plane lax.cond fallback so close-up
+    # views (more hits than the cap) stay exact instead of degrading.
+    mrow, L = px.shape
+    total = mrow * L
+    cap = max(
+        TILE_S, (-(-int(total * 0.375) // (TILE_S * TILE_L))) * TILE_S
+    ) * TILE_L
+    cap = min(cap, total)
+    hit = outcome == COLLISION
+    n_hit = jnp.sum(hit.astype(jnp.int32))
+
+    def compacted(_):
+        idx = jnp.nonzero(hit.reshape(-1), size=cap, fill_value=total)[0]
+
+        def take(x):
+            fx = jnp.concatenate([x.reshape(-1), jnp.zeros((1,), x.dtype)])
+            return fx[idx].reshape(-1, TILE_L)
+
+        nxc, nyc, nzc = _fd_normal(
+            fine, take(px), take(py), take(pz), config.normal_epsilon
+        )
+
+        def put(vals):
+            return (
+                jnp.zeros((total,), vals.dtype)
+                .at[idx].set(vals.reshape(-1), mode="drop")
+                .reshape(px.shape)
+            )
+
+        return put(nxc), put(nyc), put(nzc)
+
+    def full(_):
+        return _fd_normal(fine, px, py, pz, config.normal_epsilon)
+
+    nx, ny, nz = jax.lax.cond(n_hit <= cap, compacted, full, None)
+    return shade_planes(nx, ny, nz, outcome)
+
+
 def render_image_grid(
     grid,
     origins, directions, cone_radius,
@@ -630,7 +693,7 @@ def render_image_grid(
         origins, directions, cone_radius, h, w
     )
     if mode == "contraction":
-        depth, _, outcome = grid_trace_contraction(
+        r, g, b = shade_grid_planes_contraction(
             grid, o_s, d_s, cone_s, config, levels, interpret
         )
     else:
@@ -638,51 +701,11 @@ def render_image_grid(
             grid, o_s, d_s, cone_s, config, coarse_resolution, interpret,
             coarse,
         )
-    fine = grid_csdf(grid)
-    px = o_s[..., 0] + depth * d_s[..., 0]
-    py = o_s[..., 1] + depth * d_s[..., 1]
-    pz = o_s[..., 2] + depth * d_s[..., 2]
-    if mode == "contraction":
-        # fd4 normals = 12 more gather evals; on the per-element-cost XLA
-        # gather path that is ~200 ms of sky pixels at 512^2. Normals only
-        # matter for COLLISION rays -> compact those (same pattern as the
-        # fine finish), with a full-plane lax.cond fallback so close-up
-        # views (more hits than the cap) stay exact instead of degrading.
-        from bsdmg_tpu.ops.pallas.render_kernel import COLLISION as _COLL
-
-        mrow, L = px.shape
-        total = mrow * L
-        cap = max(TILE_S, (-(-int(total * 0.375) // (TILE_S * TILE_L))) * TILE_S) * TILE_L
-        cap = min(cap, total)
-        hit = outcome == _COLL
-        n_hit = jnp.sum(hit.astype(jnp.int32))
-
-        def compacted(_):
-            idx = jnp.nonzero(hit.reshape(-1), size=cap, fill_value=total)[0]
-
-            def take(x):
-                fx = jnp.concatenate([x.reshape(-1), jnp.zeros((1,), x.dtype)])
-                return fx[idx].reshape(-1, TILE_L)
-
-            nxc, nyc, nzc = _fd_normal(
-                fine, take(px), take(py), take(pz), config.normal_epsilon
-            )
-
-            def put(vals):
-                return (
-                    jnp.zeros((total,), vals.dtype)
-                    .at[idx].set(vals.reshape(-1), mode="drop")
-                    .reshape(px.shape)
-                )
-
-            return put(nxc), put(nyc), put(nzc)
-
-        def full(_):
-            return _fd_normal(fine, px, py, pz, config.normal_epsilon)
-
-        nx, ny, nz = jax.lax.cond(n_hit <= cap, compacted, full, None)
-    else:
+        fine = grid_csdf(grid)
+        px = o_s[..., 0] + depth * d_s[..., 0]
+        py = o_s[..., 1] + depth * d_s[..., 1]
+        pz = o_s[..., 2] + depth * d_s[..., 2]
         nx, ny, nz = _fd_normal(fine, px, py, pz, config.normal_epsilon)
-    r, g, b = shade_planes(nx, ny, nz, outcome)
+        r, g, b = shade_planes(nx, ny, nz, outcome)
     r, g, b = (_unswizzle(x[:m], hp, wp) for x in (r, g, b))
     return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)

@@ -281,6 +281,85 @@ def _render_sharded_pallas_jit(
     return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
 
 
+def render_grid_sharded(
+    grid,
+    origins: jax.Array,
+    directions: jax.Array,
+    cone: jax.Array,
+    mesh: Mesh,
+    config: MarchConfig = MarchConfig(),
+    *,
+    levels=None,
+    interpret: bool = False,
+):
+    """Multi-device mesh-asset rendering: the gather-free contraction grid
+    tracer (ops/pallas/grid_kernel.py) under ``shard_map``.
+
+    Same dealing strategy as :func:`render_sharded_pallas`: the swizzled
+    32x32 block rows are striped round-robin across every chip, so each
+    shard gets a representative mix of sky and surface blocks. Everything
+    inside a shard is local — the mip-ladder Pallas kernels, the
+    shrinking-cap compacted fine finish, and the compacted normals all
+    operate on the shard's own rays; the mip tables and fine grid replicate
+    (they are closed-over constants), so the only cross-device traffic is
+    the initial reshard. Per-shard finish caps scale with the shard's ray
+    count automatically (they are fractions).
+
+    Takes the full unsharded ray image (scanline order); returns the full
+    linear-RGB image.
+    """
+    h, w = origins.shape[:2]
+    cone_full = jnp.broadcast_to(
+        jnp.asarray(cone, jnp.float32), origins.shape[:-1]
+    )
+    from jax.experimental.shard_map import shard_map
+
+    from bsdmg_tpu.ops.pallas.grid_kernel import (
+        make_contraction_levels, shade_grid_planes_contraction,
+    )
+    from bsdmg_tpu.ops.pallas.render_kernel import (
+        _SWIZZLED_BLOCK_ROWS, TILE_S, _unswizzle, swizzled_ray_planes,
+    )
+
+    if levels is None:
+        levels = make_contraction_levels(grid)
+    n = mesh.devices.size
+    granule = n * _SWIZZLED_BLOCK_ROWS
+    o_s, d_s, c_s, (hp, wp, m, mp) = swizzled_ray_planes(
+        origins, directions, cone_full, h, w, row_granule=granule
+    )
+    nblk = mp // TILE_S
+
+    def stripe(x):
+        t = x.reshape(nblk // n, n, TILE_S, *x.shape[1:])
+        return t.swapaxes(0, 1).reshape(x.shape)
+
+    def unstripe(x):
+        t = x.reshape(n, nblk // n, TILE_S, *x.shape[1:])
+        return t.swapaxes(0, 1).reshape(x.shape)
+
+    o_s, d_s, c_s = stripe(o_s), stripe(d_s), stripe(c_s)
+    axes = tuple(mesh.axis_names)
+    spec3 = P(axes, None, None)
+    spec2 = P(axes, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec3, spec3, spec2),
+        out_specs=(spec2,) * 3,
+        check_rep=False,
+    )
+    def local(o, d, c):
+        return shade_grid_planes_contraction(
+            grid, o, d, c, config, levels, interpret
+        )
+
+    r, g, b = local(o_s, d_s, c_s)
+    r, g, b = (_unswizzle(unstripe(x)[:m], hp, wp) for x in (r, g, b))
+    return jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
+
+
 def train_step_fused(
     csdf_p,
     params: Any,
