@@ -155,6 +155,50 @@ def _render_any(scene, origins, dirs, cone, prefer_pallas: bool | None = None):
     return _make_renderer(scene, prefer_pallas)(origins, dirs, cone)
 
 
+def _render_sharded_any(scene, origins, dirs, cone):
+    """Multi-device render of any scene: analytic scenes through the fused
+    sharded kernel (or the sharded SoA path when the kernel can't bake),
+    mesh-asset scenes through the sharded contraction grid tracer."""
+    import jax
+
+    from bsdmg_tpu.parallel import make_mesh
+    from bsdmg_tpu.parallel.sharding import render_sharded
+
+    dev_mesh = make_mesh()
+    if getattr(scene, "grid", None) is not None:
+        from bsdmg_tpu.ops.pallas.grid_kernel import (
+            make_contraction_levels, probe_grid_backend,
+        )
+
+        if (
+            jax.default_backend() != "tpu"
+            or probe_grid_backend() == "contraction"
+        ):
+            from bsdmg_tpu.parallel.sharding import render_grid_sharded
+
+            interp = jax.default_backend() != "tpu"
+            return render_grid_sharded(
+                scene.grid, origins, dirs, cone, dev_mesh,
+                levels=make_contraction_levels(scene.grid),
+                interpret=interp,
+            )
+    if jax.default_backend() == "tpu":
+        from bsdmg_tpu.ops.pallas import compile_scene_csdf
+        from bsdmg_tpu.ops.pallas.csdf import compile_scene_split, scene_bounds
+        from bsdmg_tpu.parallel.sharding import render_sharded_pallas
+
+        csdf = compile_scene_csdf(scene)
+        if csdf is not None:
+            return render_sharded_pallas(
+                csdf, origins, dirs, cone, dev_mesh,
+                bb=scene_bounds(scene), split=compile_scene_split(scene),
+            )
+    return render_sharded(
+        scene.sdf, scene.params, origins, dirs, cone, dev_mesh,
+        csdf=scene.csdf,
+    )
+
+
 def cmd_render(args) -> None:
     import jax
 
@@ -170,7 +214,13 @@ def cmd_render(args) -> None:
         cam, (args.width, args.height), (args.screen_width, args.screen_height)
     )
     t0 = time.perf_counter()
-    img = jax.block_until_ready(_render_any(scene, origins, dirs, cone))
+    if getattr(args, "sharded", False):
+        img = jax.block_until_ready(
+            _render_sharded_any(scene, origins, dirs, cone)
+        )
+        log.info("sharded render over %d device(s)", len(jax.devices()))
+    else:
+        img = jax.block_until_ready(_render_any(scene, origins, dirs, cone))
     log.info(
         "rendered %dx%d in %.3fs (incl. compile)",
         args.width,
@@ -820,6 +870,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_scene_arg(r)
     common_camera(r)
     r.add_argument("--output", "-o", default=None)
+    r.add_argument(
+        "--sharded", action="store_true",
+        help="render over all local devices (rays striped across the mesh)",
+    )
     r.set_defaults(fn=cmd_render)
 
     m = sub.add_parser("mesh", help="hierarchical refine + marching cubes -> OBJ/VTK")
